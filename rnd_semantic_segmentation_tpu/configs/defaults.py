@@ -1,0 +1,129 @@
+"""Default config tree.
+
+Mirrors the reference's option surface (/root/reference/core/configs/defaults.py:5-91)
+and adds TPU-native knobs under MODEL.DTYPE / DIST / DATA_PIPE that have no
+reference counterpart (the reference's runtime knobs were CUDA-specific).
+"""
+
+from .node import CfgNode
+
+_C = CfgNode()
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+_C.MODEL = CfgNode()
+# "<family>_<backbone>" dispatch string, e.g. "deeplab_resnet101", "gald_hardnet68",
+# "pranet_res2net50", "attn_efficientnet-b2" (reference core/models/build.py:5-53
+# only factory-dispatched deeplab; here every family goes through one registry).
+_C.MODEL.NAME = "deeplab_resnet101"
+_C.MODEL.NUM_CLASSES = 2
+_C.MODEL.DEVICE = "tpu"                  # "tpu" | "cpu" (reference used "cuda")
+_C.MODEL.WEIGHTS = ""                     # pretrained backbone weights (.pth/.npz path or URL)
+_C.MODEL.FREEZE_BN = False                # fold BN to frozen affine on the backbone
+# TPU-native: compute dtype for the forward/backward pass ("bfloat16"|"float32").
+# Params and optimizer state stay float32; logits are always float32.
+_C.MODEL.DTYPE = "bfloat16"
+
+# ---------------------------------------------------------------------------
+# Input / preprocessing
+# ---------------------------------------------------------------------------
+_C.INPUT = CfgNode()
+_C.INPUT.TRAINSIZE = 352                  # square train size (PraNet pipelines)
+_C.INPUT.SOURCE_INPUT_SIZE_TRAIN = (1280, 720)   # (W, H), reference convention
+_C.INPUT.TARGET_INPUT_SIZE_TRAIN = (1024, 512)
+_C.INPUT.INPUT_SIZE_TEST = (1024, 512)
+_C.INPUT.INPUT_SCALES_TRAIN = (1.0, 1.0)
+_C.INPUT.IGNORE_LABEL = 255
+_C.INPUT.PIXEL_MEAN = [0.485, 0.456, 0.406]
+_C.INPUT.PIXEL_STD = [0.229, 0.224, 0.225]
+_C.INPUT.TO_BGR255 = False
+_C.INPUT.BRIGHTNESS = 0.0
+_C.INPUT.CONTRAST = 0.0
+_C.INPUT.SATURATION = 0.0
+_C.INPUT.HUE = 0.0
+_C.INPUT.HORIZONTAL_FLIP_PROB_TRAIN = 0.0
+
+# ---------------------------------------------------------------------------
+# Augmentation pipeline selector (reference core/components/augment.py:26-33)
+# ---------------------------------------------------------------------------
+_C.AUG = CfgNode()
+_C.AUG.NAME = "attn"                      # attn | pra | aspp | none
+_C.AUG.BLUR_PROB = 0.7
+_C.AUG.ROTATE_PROB = 0.7
+_C.AUG.JITTER_PROB = 0.7
+_C.AUG.FLIP_PROB = 0.7
+_C.AUG.PROB = 0.7
+_C.AUG.COLLATE = "attn"                   # attn | pranet | None
+
+# ---------------------------------------------------------------------------
+# Datasets
+# ---------------------------------------------------------------------------
+_C.DATASETS = CfgNode()
+_C.DATASETS.DATASET_DIR = ""
+_C.DATASETS.SOURCE_TRAIN = ""
+_C.DATASETS.TARGET_TRAIN = ""
+_C.DATASETS.VALIDATION = ""
+_C.DATASETS.TEST = ""
+_C.DATASETS.CROSS_VAL = 0
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+_C.SOLVER = CfgNode()
+_C.SOLVER.EPOCHS = 5
+_C.SOLVER.MAX_ITER = 16000
+_C.SOLVER.STOP_ITER = 10000
+_C.SOLVER.LR_METHOD = "poly"
+_C.SOLVER.BASE_LR = 0.02
+_C.SOLVER.BASE_LR_D = 0.008
+_C.SOLVER.LR_POWER = 0.9
+_C.SOLVER.MOMENTUM = 0.9
+_C.SOLVER.WEIGHT_DECAY = 0.0005
+_C.SOLVER.WEIGHT_DECAY_BIAS = 0.0
+_C.SOLVER.DECAY_RATE = 0.1
+_C.SOLVER.DECAY_EPOCH = 50
+_C.SOLVER.GAMMA = 0.1
+_C.SOLVER.CHECKPOINT_PERIOD = 5
+# Global batch size; split across the data-parallel mesh axis
+# (reference core/configs/defaults.py:74-77 documents the same global semantics).
+_C.SOLVER.BATCH_SIZE = 8
+_C.SOLVER.BATCH_SIZE_VAL = 1
+_C.SOLVER.GRAD_CLIP = 0.0                 # per-element clamp, 0 disables
+                                          # (reference core/utils/utils.py:6-16)
+
+# ---------------------------------------------------------------------------
+# Test
+# ---------------------------------------------------------------------------
+_C.TEST = CfgNode()
+_C.TEST.BATCH_SIZE = 1
+_C.TEST.FLIP_TTA = False
+_C.TEST.MULTI_SCALE = False
+_C.TEST.SCALES = (0.7, 1.0, 1.3)
+
+# ---------------------------------------------------------------------------
+# Distribution / mesh (TPU-native; no reference counterpart — replaces
+# torch.distributed/NCCL from train_adv.py:84-88)
+# ---------------------------------------------------------------------------
+_C.DIST = CfgNode()
+_C.DIST.DATA_AXIS = "data"                # mesh axis name for batch sharding
+_C.DIST.SPATIAL_AXIS = "spatial"          # mesh axis name for H sharding
+_C.DIST.SPATIAL_PARALLEL = 1              # devices along the spatial axis
+_C.DIST.INITIALIZE = False                # call jax.distributed.initialize()
+
+# ---------------------------------------------------------------------------
+# Host data pipeline (replaces DataLoader workers, train_src.py:16-25)
+# ---------------------------------------------------------------------------
+_C.DATA_PIPE = CfgNode()
+_C.DATA_PIPE.NUM_WORKERS = 4
+_C.DATA_PIPE.PREFETCH = 2                 # device-buffer prefetch depth
+_C.DATA_PIPE.SEED = 0
+
+_C.OUTPUT_DIR = "."
+_C.resume = ""
+_C.PSEUDO_DIR = ""
+_C.SEED = 0
+
+
+def get_default_cfg() -> CfgNode:
+    return _C.clone()
