@@ -1,0 +1,136 @@
+"""Single model registry for all four families.
+
+The reference only factory-dispatched the deeplab family
+(/root/reference/core/models/build.py:5-53) while trainers hardcoded the other
+model classes (SURVEY §1 import-direction note); here every family resolves
+through ``build_segmentor`` so orchestration never imports model classes.
+
+MODEL.NAME grammar: ``<family>_<backbone>`` —
+  deeplab_resnet101 / deeplab_vgg16 / gald_hardnet68 / pranet_res2net50 /
+  attn_efficientnet-b2  (plus attnwrap_* for the single-module variant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+from flax import linen as nn
+
+from .aspp import ASPPClassifierV2, ResNetFeatureExtractor, VGG16FeatureExtractor
+from .attn_unet import AttnDecoder, AttnEfficientNetUnet, _DEPTH_MAP
+from .discriminator import FCDiscriminator, PixelDiscriminator
+from .efficientnet import EfficientNetEncoder
+from .gcpa import GCPADecoder, GCPAEncoder
+from .pranet import PraNet
+
+# feature dims fed to the FADA discriminator per backbone
+# (reference core/models/build.py:36-50)
+_DISC_FEATURES = {"resnet": 2048, "vgg": 1024, "efficientnet": 1408, "hardnet": 1024}
+
+
+def split_model_name(name: str) -> Tuple[str, str]:
+    family, _, backbone = name.partition("_")
+    return family, backbone
+
+
+def build_feature_extractor(cfg, bn_axis_name: Optional[str] = None) -> nn.Module:
+    _, backbone = split_model_name(cfg.MODEL.NAME)
+    if backbone.startswith("resnet"):
+        return ResNetFeatureExtractor(backbone_name=backbone,
+                                      freeze_bn=cfg.MODEL.FREEZE_BN,
+                                      bn_axis_name=bn_axis_name)
+    if backbone.startswith("vgg"):
+        return VGG16FeatureExtractor(freeze_bn=cfg.MODEL.FREEZE_BN)
+    raise NotImplementedError(backbone)
+
+
+def build_classifier(cfg) -> nn.Module:
+    return ASPPClassifierV2(num_classes=cfg.MODEL.NUM_CLASSES)
+
+
+def build_adversarial_discriminator(cfg, num_features: Optional[int] = None,
+                                    mid_nc: int = 256) -> nn.Module:
+    _, backbone = split_model_name(cfg.MODEL.NAME)
+    if num_features is None:
+        for prefix, feats in _DISC_FEATURES.items():
+            if backbone.startswith(prefix):
+                num_features = feats
+                break
+        else:
+            raise NotImplementedError(backbone)
+    del num_features  # input channels are inferred from the tensor in flax
+    return PixelDiscriminator(ndf=mid_nc, num_classes=cfg.MODEL.NUM_CLASSES)
+
+
+@dataclasses.dataclass
+class SegmentorSpec:
+    """Everything orchestration needs to train/eval one family uniformly.
+
+    ``modules``: named submodels (the reference keeps separate optimizers per
+    part, e.g. classifier LR = 10x backbone — aspp_trainer.py:25-26).
+    ``lr_mults``: LR multiplier per module name.
+    ``optimizer``: 'sgd' | 'adam' (reference per-family choice).
+    ``disc_tap``: which forward intermediate feeds the FADA discriminator.
+    """
+
+    family: str
+    backbone: str
+    modules: Dict[str, nn.Module]
+    lr_mults: Dict[str, float]
+    optimizer: str
+    ckpt_prefix: str
+    disc_tap: str
+
+
+def build_segmentor(cfg, bn_axis_name: Optional[str] = None) -> SegmentorSpec:
+    family, backbone = split_model_name(cfg.MODEL.NAME)
+    nc = cfg.MODEL.NUM_CLASSES
+    if family == "deeplab":
+        return SegmentorSpec(
+            family=family, backbone=backbone,
+            modules={
+                "feature_extractor": build_feature_extractor(cfg, bn_axis_name),
+                "classifier": build_classifier(cfg),
+            },
+            lr_mults={"feature_extractor": 1.0, "classifier": 10.0},
+            optimizer="sgd", ckpt_prefix="Aspp", disc_tap="features",
+        )
+    if family == "gald":
+        return SegmentorSpec(
+            family=family, backbone=backbone or "hardnet68",
+            modules={
+                "encoder": GCPAEncoder(bn_axis_name=bn_axis_name),
+                "decoder": GCPADecoder(num_classes=nc, bn_axis_name=bn_axis_name),
+            },
+            lr_mults={"encoder": 1.0, "decoder": 10.0},
+            optimizer="adam", ckpt_prefix="Gald", disc_tap="hardnetout3",
+        )
+    if family == "pranet":
+        return SegmentorSpec(
+            family=family, backbone=backbone or "res2net50",
+            modules={"model": PraNet(bn_axis_name=bn_axis_name)},
+            lr_mults={"model": 0.125},  # Adam at BASE_LR/8 (pranet_trainer.py:20)
+            optimizer="adam", ckpt_prefix="PraNet", disc_tap="layer4",
+        )
+    if family in ("attn", "attnwrap"):
+        bb = backbone or "efficientnet-b2"
+        if family == "attnwrap":
+            return SegmentorSpec(
+                family=family, backbone=bb,
+                modules={"model": AttnEfficientNetUnet(backbone_name=bb, num_classes=nc,
+                                                       bn_axis_name=bn_axis_name)},
+                lr_mults={"model": 1.0},
+                optimizer="adam", ckpt_prefix="AttnWrap", disc_tap="reduction_5",
+            )
+        return SegmentorSpec(
+            family=family, backbone=bb,
+            modules={
+                "encoder": EfficientNetEncoder(backbone_name=bb),
+                "decoder": AttnDecoder(backbone_name=bb, num_classes=nc,
+                                       bn_axis_name=bn_axis_name),
+            },
+            lr_mults={"encoder": 1.0, "decoder": 10.0},
+            optimizer="adam", ckpt_prefix="Attn", disc_tap="reduction_5",
+        )
+    raise NotImplementedError(f"unknown model family {family!r}")
