@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Throughput benchmark: DeepLabV2-R101 training step @ 512x512 (bf16).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no benchmark numbers (BASELINE.md: README has none,
+`"published": {}`), so `vs_baseline` is computed against PYTORCH_GPU_ANCHOR —
+an assumed 20 images/sec/chip for PyTorch-1.7 DeepLabV2-R101 fwd+bwd @512² on
+the reference's CUDA-11-era GPU, the anchor for the driver's >=3x north-star
+(BASELINE.json "north_star").  Replace with a measured number when one exists.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+from rnd_semantic_segmentation_tpu.models import build_segmentor
+from rnd_semantic_segmentation_tpu.train import Segmentor, make_optimizers, make_src_train_step
+
+PYTORCH_GPU_ANCHOR = 20.0  # images/sec/chip, assumed PyTorch-GPU baseline
+BATCH = 8
+SIZE = 512
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "deeplab_resnet101"
+    cfg.MODEL.NUM_CLASSES = 19
+    cfg.MODEL.FREEZE_BN = True
+    cfg.MODEL.DTYPE = "bfloat16"
+    cfg.SOLVER.BASE_LR = 1e-4
+    cfg.SOLVER.EPOCHS = 1
+
+    spec = build_segmentor(cfg)
+    seg = Segmentor(spec, cfg.MODEL.NUM_CLASSES)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, SIZE, SIZE, 3).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    y = jnp.asarray(rng.randint(0, 19, size=(BATCH, SIZE, SIZE)).astype(np.int32))
+    batch = {"image": x, "label": y}
+
+    variables = seg.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3), jnp.bfloat16))
+    state = seg.make_states(variables, make_optimizers(spec, cfg))
+    step = make_src_train_step(seg, cfg, steps_per_epoch=1000)
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch, jnp.float32(0))
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch, jnp.float32(0))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    images_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_deeplabv2_r101_512",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / PYTORCH_GPU_ANCHOR, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

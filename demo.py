@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+"""Root entry point mirroring the reference CLI surface (`python demo.py -cfg ...`)."""
+from rnd_semantic_segmentation_tpu.cli.demo import cli
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,75 @@
+"""Checkpoint save/restore (Orbax) with the reference's layout semantics.
+
+The reference writes per-part dicts {epoch, iteration, <part> state_dicts,
+optimizer_<part> state_dicts} every CHECKPOINT_PERIOD epochs, rank-0 only,
+named ``{Prefix}-{epoch}.pth`` (aspp_trainer.py:46-55,129-131,
+gald_trainer.py:26-35).  Here a checkpoint is an Orbax directory
+``{Prefix}-{epoch}`` holding the TrainState pytree (params + stats +
+optimizer states per module) plus {epoch, iteration} metadata; resume
+restores everything including the step counter (aspp_trainer.py:28-44).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..train.state import ModuleState, TrainState
+
+
+def _to_pytree(state: TrainState, epoch: int) -> Dict[str, Any]:
+    return {
+        "epoch": epoch,
+        "iteration": int(state.step),
+        "modules": {
+            name: {"params": m.params, "stats": m.stats, "opt_state": m.opt_state}
+            for name, m in state.modules.items()
+        },
+    }
+
+
+def save_checkpoint(path: str, state: TrainState, epoch: int) -> str:
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(_to_pytree(state, epoch)), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int]:
+    """Restore into the structure of `state`; returns (state, start_epoch)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    template = _to_pytree(state, 0)
+    restored = ckptr.restore(path, template)
+    modules = {
+        name: ModuleState(params=m["params"], stats=m["stats"],
+                          opt_state=m["opt_state"])
+        for name, m in restored["modules"].items()
+    }
+    new_state = TrainState(
+        modules=modules,
+        step=np.asarray(restored["iteration"], np.int32))
+    return new_state, int(restored["epoch"]) + 1
+
+
+def checkpoint_name(output_dir: str, prefix: str, epoch: int) -> str:
+    return os.path.join(output_dir, f"{prefix}-{epoch}")
+
+
+def latest_checkpoint(output_dir: str, prefix: str) -> Optional[str]:
+    if not os.path.isdir(output_dir):
+        return None
+    best = None
+    best_ep = -1
+    for entry in os.listdir(output_dir):
+        m = re.fullmatch(rf"{re.escape(prefix)}-(\d+)", entry)
+        if m and int(m.group(1)) > best_ep:
+            best_ep = int(m.group(1))
+            best = os.path.join(output_dir, entry)
+    return best

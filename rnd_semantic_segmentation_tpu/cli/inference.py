@@ -1,0 +1,68 @@
+"""Single-image inference CLI (reference inference.py): loads an image,
+runs the configured model, writes a palette PNG."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..data.augment import Augmenter
+from ..eval.palette import get_color_palette
+from ..eval.tester import Tester
+from ..utils import load_json, setup_logger
+from .common import load_cfg
+
+
+class _OneImageLoader:
+    """Minimal loader facade so Tester machinery can be reused."""
+
+    def __init__(self, batch):
+        self.batch = batch
+
+    def __iter__(self):
+        yield self.batch
+
+    def __len__(self):
+        return 1
+
+
+def get_pred(cfg, image_path: str, logger):
+    transform = Augmenter(cfg, mode="test", is_source=False).build_transform()
+    image = Image.open(image_path).convert("RGB")
+    dummy_label = Image.fromarray(np.zeros(image.size[::-1], np.float32))
+    img, _ = transform(image, dummy_label)
+    img = np.asarray(img, np.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    batch = {"image": img[None], "label": np.zeros(img.shape[:2], np.int32)[None],
+             "name": [os.path.basename(image_path)]}
+    tester = Tester(cfg, _OneImageLoader(batch), logger)
+    tester._load_checkpoint()
+    probs = tester._probs(tester.variables, jnp.asarray(batch["image"]),
+                          tuple(batch["image"].shape[1:3]))
+    return np.asarray(jnp.argmax(probs, axis=-1)[0])
+
+
+def cli():
+    parser = argparse.ArgumentParser(description="TPU single-image inference")
+    parser.add_argument("-cfg", "--config-file", default="", metavar="FILE", type=str)
+    parser.add_argument("-i", "--image", required=True, help="input image path")
+    parser.add_argument("-o", "--output", default="pred.png", help="output PNG")
+    parser.add_argument("-c", "--config_path", default="renders/cityscapes.json")
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+    cfg = load_cfg(args)
+    render = load_json(args.config_path) if os.path.exists(args.config_path) else {}
+    logger = setup_logger("inference", cfg.OUTPUT_DIR, 0)
+    pred = get_pred(cfg, args.image, logger)
+    palette = render.get("palette", [0, 0, 0, 255, 255, 255])
+    get_color_palette(pred, palette).save(args.output)
+    logger.info(f"saved prediction to {args.output}")
+
+
+if __name__ == "__main__":
+    cli()

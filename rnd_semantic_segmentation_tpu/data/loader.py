@@ -1,0 +1,102 @@
+"""Host data loader with worker threads + device prefetch.
+
+Replaces ``torch.utils.data.DataLoader(num_workers=4, pin_memory, drop_last)``
+(/root/reference/train_src.py:16-25) with a thread-pool pipeline:
+decode/augment runs on host threads (PIL/numpy release the GIL for the heavy
+parts), batches are stacked NHWC, and ``device_prefetch`` keeps
+``cfg.DATA_PIPE.PREFETCH`` batches in flight to the device so TPU steps never
+wait on the host — the double-buffered HBM feed from the north-star design.
+
+Collate conventions preserved (core/datasets/func.py:8-46): uint8 HWC images
+-> float/255; already-float images pass through; labels -> int32 [B,H,W].
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def default_collate(samples):
+    images, labels, names = zip(*samples)
+    images = np.stack([np.asarray(im) for im in images], axis=0)
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 255.0
+    labels = np.stack([np.asarray(l) for l in labels], axis=0)
+    if labels.ndim == 4:  # [B,H,W,1] -> [B,H,W]
+        labels = labels[..., 0]
+    labels = labels.astype(np.int32)
+    return {"image": images.astype(np.float32), "label": labels,
+            "name": list(names)}
+
+
+# collate registry mirroring build_collate_fn (core/datasets/build.py:5-13);
+# with NHWC-native arrays the attn/pranet collates reduce to the default.
+COLLATE_FNS = {"attn": default_collate, "pranet": default_collate,
+               None: default_collate, "None": default_collate}
+
+
+def build_collate_fn(cfg):
+    return COLLATE_FNS.get(cfg.AUG.COLLATE, default_collate)
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 4,
+                 collate_fn=None, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.collate_fn = collate_fn or default_collate
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        if self.drop_last:
+            order = order[: len(self) * self.batch_size]
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            # pipeline two batches ahead of the consumer
+            pending = []
+            for idxs in batches:
+                pending.append(pool.map(self.dataset.__getitem__, idxs))
+                if len(pending) > 2:
+                    yield self.collate_fn(list(pending.pop(0)))
+            for fut in pending:
+                yield self.collate_fn(list(fut))
+
+
+def device_prefetch(iterator, size: int = 2, sharding=None):
+    """Keeps `size` device batches in flight (async dispatch does the overlap)."""
+    import jax
+
+    def put(batch):
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
+        if sharding is not None:
+            arrays = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+        else:
+            arrays = {k: jax.device_put(v) for k, v in arrays.items()}
+        return {**arrays, **rest}
+
+    buf = []
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.pop(0)
+    while buf:
+        yield buf.pop(0)

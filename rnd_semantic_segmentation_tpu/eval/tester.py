@@ -1,0 +1,169 @@
+"""Unified evaluation loop for all four families.
+
+Replaces the per-family testers (aspp/gald/pranet/attn_tester.py) with one
+loop; family differences are the probability head:
+  * deeplab — flip-free ``inference()``: logits -> bilinear(align=True) to
+    label size -> softmax (aspp_tester.py:60, utility.py:179-191)
+  * gald — decoder res2 -> bilinear(align=False) -> softmax (gald_tester.py:65-70)
+  * pranet — sigmoid(res2 upsampled) -> min-max normalize -> [1-p, p] stack
+    (pranet_tester.py:38-44)
+  * attn — sigmoid(out_0) -> argmax / threshold (attn_tester.py:41-43)
+
+Checkpoints: Orbax dirs saved by this framework, or reference PyTorch ``.pth``
+files (converted on the fly) for logit-parity evaluation.  ``--saveres``
+exports palette PNGs into PSEUDO_DIR/inference/<dataset>/ to feed the
+self-distill regime (aspp_tester.py:33-45).
+
+The eval forward is jitted once per input shape; metric accumulation
+(I/U histograms + confusion matrix) stays on device.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ckpt import torch_import as TI
+from ..ckpt.orbax_io import load_checkpoint
+from ..models.build import build_segmentor
+from ..ops import resize_bilinear
+from ..train.segmentor import Segmentor
+from ..train.state import ModuleState, TrainState
+from ..train.steps import make_optimizers
+from ..utils import dump_json
+from .metrics import AverageMeter, confusion_matrix, intersection_and_union
+from .palette import save_pseudo_label
+
+
+class Tester:
+    def __init__(self, cfg, test_loader, logger, palette=None,
+                 trainid2name=None, saveres: bool = False):
+        self.cfg = cfg
+        self.logger = logger
+        self.test_loader = test_loader
+        self.palette = palette
+        self.trainid2name = trainid2name or {}
+        self.saveres = saveres
+        self.spec = build_segmentor(cfg)
+        self.segmentor = Segmentor(self.spec, cfg.MODEL.NUM_CLASSES)
+        self.variables: Optional[Dict] = None
+
+    # -- checkpoint ----------------------------------------------------------
+    def _load_checkpoint(self):
+        path = self.cfg.resume
+        self.logger.info(f"Loading checkpoint from {path}")
+        if path.endswith(".pth"):
+            self.variables = self._load_torch_checkpoint(path)
+        else:
+            # restore via a template TrainState built from a fresh init
+            sample = next(iter(self.test_loader))
+            x = jnp.zeros(sample["image"].shape, jnp.float32)
+            variables = self.segmentor.init(jax.random.PRNGKey(0), x)
+            txs = make_optimizers(self.spec, self.cfg)
+            state = self.segmentor.make_states(variables, txs)
+            state, _ = load_checkpoint(path, state)
+            self.variables = {
+                name: {"params": m.params, **m.stats}
+                for name, m in state.modules.items()
+            }
+
+    def _load_torch_checkpoint(self, path: str) -> Dict:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        fam = self.spec.family
+        freeze = self.cfg.MODEL.FREEZE_BN
+
+        def conv(part, rules, **kw):
+            sd = {k: v.detach().cpu().numpy() for k, v in ckpt[part].items()}
+            sd = TI.strip_prefix_if_present(sd, "module.")
+            return TI.convert_state_dict(sd, rules, **kw)
+
+        if fam == "deeplab":
+            return {
+                "feature_extractor": conv("feature_extractor",
+                                          TI.RESNET_BACKBONE_RULES,
+                                          freeze_bn=freeze),
+                "classifier": conv("classifier", TI.ASPP_CLASSIFIER_RULES),
+            }
+        if fam == "gald":
+            return {
+                "encoder": conv("encoder", TI.GCPA_ENCODER_RULES,
+                                skip=("num_batches_tracked", "base.19")),
+                "decoder": conv("decoder", TI.GCPA_DECODER_RULES),
+            }
+        if fam == "pranet":
+            return {"model": conv("model", TI.PRANET_RULES)}
+        if fam in ("attn", "attnwrap"):
+            return {
+                "encoder": conv("encoder", TI.ATTN_ENCODER_RULES),
+                "decoder": conv("decoder", TI.ATTN_DECODER_RULES,
+                                transposed_conv_paths=TI.ATTN_DECODER_TRANSPOSED,
+                                skip=("num_batches_tracked", "decode_0")),
+            }
+        raise NotImplementedError(fam)
+
+    # -- probability head ------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _probs(self, variables, x, label_size):
+        params = {n: dict(v)["params"] for n, v in variables.items()}
+        stats = {n: {k: c for k, c in dict(v).items() if k != "params"}
+                 for n, v in variables.items()}
+        outputs, _, _ = self.segmentor.forward(params, stats, x,
+                                               label_size=label_size, train=False)
+        fam = self.spec.family
+        if fam == "deeplab":
+            out = resize_bilinear(outputs[0].astype(jnp.float32), label_size,
+                                  align_corners=True)
+            return jax.nn.softmax(out, axis=-1)
+        if fam == "gald":
+            res2 = outputs[-1]
+            out = resize_bilinear(res2.astype(jnp.float32), label_size,
+                                  align_corners=False)
+            return jax.nn.softmax(out, axis=-1)
+        if fam == "pranet":
+            res2 = outputs[-1]
+            out = resize_bilinear(res2.astype(jnp.float32), label_size,
+                                  align_corners=False)
+            p = jax.nn.sigmoid(out)[..., 0]
+            p = (p - p.min()) / (p.max() - p.min() + 1e-8)
+            return jnp.stack([1 - p, p], axis=-1)
+        if fam in ("attn", "attnwrap"):
+            return jax.nn.sigmoid(outputs[0].astype(jnp.float32))
+        raise NotImplementedError(fam)
+
+    # -- loop --------------------------------------------------------------------
+    def test(self) -> Dict:
+        cfg = self.cfg
+        nc = cfg.MODEL.NUM_CLASSES
+        meter = AverageMeter(nc)
+        cmt = np.zeros((nc, nc), np.int64)
+        assert self.variables is not None, "call _load_checkpoint() first"
+
+        for batch in self.test_loader:
+            x = jnp.asarray(batch["image"])
+            y = jnp.asarray(batch["label"])
+            label_size = tuple(y.shape[1:3])
+            output = self._probs(self.variables, x, label_size)
+            pred = jnp.argmax(output, axis=-1)
+            if self.saveres:
+                save_pseudo_label(np.asarray(pred[0]), self.palette,
+                                  cfg.PSEUDO_DIR, cfg.DATASETS.TEST,
+                                  batch["name"][0])
+            cmt += np.asarray(confusion_matrix(pred, y, nc, cfg.INPUT.IGNORE_LABEL))
+            inter, union, target, res = intersection_and_union(
+                pred, y, nc, cfg.INPUT.IGNORE_LABEL)
+            meter.update(np.asarray(inter), np.asarray(union),
+                         np.asarray(target), np.asarray(res))
+
+        summary = meter.summary(self.logger)
+        dump_json(os.path.join(cfg.OUTPUT_DIR,
+                               f"{self.spec.family}_confusion_matrix.json"),
+                  {"cmt": cmt.tolist(),
+                   "classes": list(self.trainid2name.values())})
+        return summary

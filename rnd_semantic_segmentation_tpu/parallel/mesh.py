@@ -1,0 +1,71 @@
+"""Device mesh + sharding helpers (the TPU-native 'distributed backend').
+
+Replaces torch.distributed/NCCL process groups (reference train_adv.py:84-88,
+train_distill.py:215-222, run.sh:5-7) with the JAX SPMD model:
+
+  * one process per host, ``jax.distributed.initialize()`` for multi-host DCN
+    rendezvous (cfg.DIST.INITIALIZE),
+  * a ('data', 'spatial') mesh — batch sharded over 'data' (DP) and,
+    optionally, image height over 'spatial' for large-input models (the
+    vision analog of sequence parallelism; SURVEY §5 long-context),
+  * parameters replicated; XLA inserts the gradient all-reduce over ICI
+    during jit compilation (no DDP wrapper, no explicit collectives),
+  * BatchNorm stats are computed over the *global* batch under pjit —
+    SyncBatchNorm semantics (train_distill.py:52-53) by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(cfg=None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    spatial = int(cfg.DIST.SPATIAL_PARALLEL) if cfg is not None else 1
+    data_axis = cfg.DIST.DATA_AXIS if cfg is not None else "data"
+    spatial_axis = cfg.DIST.SPATIAL_AXIS if cfg is not None else "spatial"
+    n = len(devices)
+    assert n % spatial == 0, (n, spatial)
+    mesh_devices = np.asarray(devices).reshape(n // spatial, spatial)
+    return Mesh(mesh_devices, (data_axis, spatial_axis))
+
+
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """[B,H,W,...] sharded over batch (and optionally H over 'spatial')."""
+    data_axis, spatial_axis = mesh.axis_names
+    if spatial:
+        return NamedSharding(mesh, P(data_axis, spatial_axis))
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
+            out[k] = jax.device_put(v, sh)
+        else:
+            out[k] = v
+    return out
+
+
+def replicate_state(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def initialize_distributed(cfg) -> None:
+    if cfg.DIST.INITIALIZE:
+        jax.distributed.initialize()
+
+
+def process_is_primary() -> bool:
+    """Rank-0 gate for checkpoint/log writes (aspp_trainer.py:59)."""
+    return jax.process_index() == 0

