@@ -41,6 +41,8 @@ from .palette import save_pseudo_label
 
 
 class Tester:
+    __test__ = False  # not a pytest class
+
     def __init__(self, cfg, test_loader, logger, palette=None,
                  trainid2name=None, saveres: bool = False):
         self.cfg = cfg

@@ -23,14 +23,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(cfg=None, devices=None) -> Mesh:
+def make_mesh(cfg=None, devices=None, batch_size: int = 0) -> Mesh:
+    """('data','spatial') mesh.  When ``batch_size`` is given, the data axis
+    is capped at gcd(batch, devices) so small batches still shard evenly
+    (the reference's global->per-GPU split, defaults.py:74-77)."""
+    import math
+
     devices = devices if devices is not None else jax.devices()
     spatial = int(cfg.DIST.SPATIAL_PARALLEL) if cfg is not None else 1
     data_axis = cfg.DIST.DATA_AXIS if cfg is not None else "data"
     spatial_axis = cfg.DIST.SPATIAL_AXIS if cfg is not None else "spatial"
     n = len(devices)
     assert n % spatial == 0, (n, spatial)
-    mesh_devices = np.asarray(devices).reshape(n // spatial, spatial)
+    n_data = n // spatial
+    if batch_size:
+        n_data = math.gcd(batch_size, n_data)
+    mesh_devices = np.asarray(devices[: n_data * spatial]).reshape(n_data, spatial)
     return Mesh(mesh_devices, (data_axis, spatial_axis))
 
 

@@ -64,7 +64,7 @@ class Trainer:
         self.name = name
         self.train_loader = train_loader
         self.logger = logger or setup_logger(name + "_train", cfg.OUTPUT_DIR, local_rank)
-        self.mesh = make_mesh(cfg)
+        self.mesh = make_mesh(cfg, batch_size=cfg.SOLVER.BATCH_SIZE)
         self.spec = build_segmentor(cfg)
         self.segmentor = Segmentor(self.spec, cfg.MODEL.NUM_CLASSES)
         self.start_epoch = 1
@@ -154,7 +154,7 @@ class FadaTrainer:
                  tgt_loader: DataLoader, local_rank: int = 0):
         self.cfg = cfg
         self.logger = setup_logger(name + "_train", cfg.OUTPUT_DIR, local_rank)
-        self.mesh = make_mesh(cfg)
+        self.mesh = make_mesh(cfg, batch_size=cfg.SOLVER.BATCH_SIZE // 2)
         self.spec = build_segmentor(cfg)
         self.segmentor = Segmentor(self.spec, cfg.MODEL.NUM_CLASSES)
         self.src_loader = src_loader

@@ -1,0 +1,67 @@
+"""Orbax checkpoint save/restore roundtrip + latest-checkpoint discovery."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rnd_semantic_segmentation_tpu.ckpt import (
+    checkpoint_name,
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+from rnd_semantic_segmentation_tpu.models import build_segmentor
+from rnd_semantic_segmentation_tpu.train import Segmentor, make_optimizers, make_src_train_step
+
+
+def test_roundtrip_resume(tmp_path):
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "deeplab_resnet18"
+    cfg.MODEL.NUM_CLASSES = 3
+    cfg.SOLVER.BASE_LR = 1e-4
+    spec = build_segmentor(cfg)
+    seg = Segmentor(spec, 3)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 3, size=(2, 32, 32)).astype(np.int32))
+    variables = seg.init(jax.random.PRNGKey(0), x)
+    state = seg.make_states(variables, make_optimizers(spec, cfg))
+    step = make_src_train_step(seg, cfg, steps_per_epoch=10)
+    state, _ = step(state, {"image": x, "label": y}, jnp.float32(0))
+    state, _ = step(state, {"image": x, "label": y}, jnp.float32(0))
+
+    path = checkpoint_name(str(tmp_path), spec.ckpt_prefix, epoch=7)
+    save_checkpoint(path, state, epoch=7)
+
+    # fresh template
+    variables2 = seg.init(jax.random.PRNGKey(42), x)
+    state2 = seg.make_states(variables2, make_optimizers(spec, cfg))
+    restored, start_epoch = load_checkpoint(path, state2)
+    assert start_epoch == 8
+    assert int(restored.step) == 2
+    a = jax.tree.leaves(state.modules["classifier"].params)
+    b = jax.tree.leaves(restored.modules["classifier"].params)
+    for x1, x2 in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    # optimizer state restored too
+    oa = jax.tree.leaves(state.modules["feature_extractor"].opt_state)
+    ob = jax.tree.leaves(restored.modules["feature_extractor"].opt_state)
+    for x1, x2 in zip(oa, ob):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_latest_checkpoint_discovery(tmp_path):
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "deeplab_resnet18"
+    cfg.MODEL.NUM_CLASSES = 2
+    spec = build_segmentor(cfg)
+    seg = Segmentor(spec, 2)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    variables = seg.init(jax.random.PRNGKey(0), x)
+    state = seg.make_states(variables, make_optimizers(spec, cfg))
+    for ep in (1, 5, 3):
+        save_checkpoint(checkpoint_name(str(tmp_path), "Aspp", ep), state, ep)
+    assert latest_checkpoint(str(tmp_path), "Aspp").endswith("Aspp-5")
+    assert latest_checkpoint(str(tmp_path), "Gald") is None
