@@ -51,12 +51,13 @@ def main():
 
     for _ in range(WARMUP):
         state, metrics = step(state, batch, jnp.float32(0))
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # device_get: hard sync (block_until_ready does not
+                            # fully fence through the remote-TPU tunnel)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, batch, jnp.float32(0))
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     images_per_sec = BATCH * ITERS / dt
