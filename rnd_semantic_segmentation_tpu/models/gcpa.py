@@ -33,34 +33,27 @@ from .layers import BatchNorm, Conv2d, GroupNorm, relu
 
 
 class CrissCrossAttention(nn.Module):
-    """Axial (criss-cross) attention over H and W."""
+    """Axial (criss-cross) attention over H and W.
+
+    The fused attention core (energies + joint softmax with -inf H-diagonal +
+    both aggregations) lives in ops/ccattn.py: a Pallas TPU kernel on TPU,
+    the einsum reference elsewhere (``use_pallas`` overrides).
+    """
+
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.ccattn import cc_attention_core
+
         b, h, w, c = x.shape
         cq = max(c // 8, 1)
         q = Conv2d(cq, 1, name="query_conv")(x)
         k = Conv2d(cq, 1, name="key_conv")(x)
         v = Conv2d(c, 1, name="value_conv")(x)
         gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
-
-        qf = q.astype(jnp.float32)
-        kf = k.astype(jnp.float32)
-        vf = v.astype(jnp.float32)
-
-        # energy_H[b,h,w,h'] with -inf on h==h' (ccnet.py:29-34,91-96)
-        energy_h = jnp.einsum("bhwc,bkwc->bhwk", qf, kf)
-        diag = jnp.eye(h, dtype=bool)[None, :, None, :]
-        energy_h = jnp.where(diag, -jnp.inf, energy_h)
-        # energy_W[b,h,w,w']
-        energy_w = jnp.einsum("bhwc,bhkc->bhwk", qf, kf)
-
-        att = nn.softmax(jnp.concatenate([energy_h, energy_w], axis=-1), axis=-1)
-        att_h, att_w = att[..., :h], att[..., h:]
-
-        out_h = jnp.einsum("bhwk,bkwc->bhwc", att_h, vf)
-        out_w = jnp.einsum("bhwk,bhkc->bhwc", att_w, vf)
-        return (gamma * (out_h + out_w)).astype(x.dtype) + x
+        out = cc_attention_core(q, k, v, use_pallas=self.use_pallas)
+        return (gamma * out.astype(jnp.float32)).astype(x.dtype) + x
 
 
 class LocalAttenModule(nn.Module):
