@@ -215,6 +215,24 @@ class GroupNorm(nn.Module):
         return y.astype(dtype)
 
 
+class LayerNormCHW(nn.Module):
+    """torch ``nn.LayerNorm([C,1,1])`` on a [B,1,1,C] context tensor (GCNet
+    channel transform, gcnet.py): normalize over the channel axis."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(x.dtype)
+
+
 def make_norm(kind: str, axis_name: Optional[str] = None) -> Callable[..., nn.Module]:
     """Norm factory: 'bn' (trainable) or 'frozen' (affine-folded buffers).
 
