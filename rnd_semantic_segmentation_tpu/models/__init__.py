@@ -8,6 +8,17 @@ from .build import (
     build_segmentor,
     split_model_name,
 )
+from .contextagg import (
+    CA,
+    SA,
+    SRM,
+    ContextBlock2d,
+    GALDHead,
+    GCPAGALDNet,
+    HolisticAttention,
+    PSPModule,
+    SmallLocalAttenModule,
+)
 from .discriminator import FCDiscriminator, PixelDiscriminator
 from .efficientnet import EfficientNetEncoder
 from .gcpa import (
