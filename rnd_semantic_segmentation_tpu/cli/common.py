@@ -4,8 +4,21 @@
 from __future__ import annotations
 
 import argparse
+import os
 
 from ..configs import get_default_cfg
+
+
+def _maybe_force_cpu(cfg=None):
+    """Honor MODEL.DEVICE=cpu / SEGTPU_FORCE_CPU=1 (the deployment harness can
+    pin JAX_PLATFORMS via sitecustomize, so env vars alone don't suffice)."""
+    if os.environ.get("SEGTPU_FORCE_CPU") == "1" or (
+            cfg is not None and cfg.MODEL.DEVICE == "cpu"):
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized
 
 
 def base_parser(description: str) -> argparse.ArgumentParser:
@@ -26,4 +39,5 @@ def load_cfg(args):
     if args.opts:
         cfg.merge_from_list(args.opts)
     cfg.freeze()
+    _maybe_force_cpu(cfg)
     return cfg

@@ -116,27 +116,38 @@ class Tester:
         params = {n: dict(v)["params"] for n, v in variables.items()}
         stats = {n: {k: c for k, c in dict(v).items() if k != "params"}
                  for n, v in variables.items()}
-        outputs, _, _ = self.segmentor.forward(params, stats, x,
-                                               label_size=label_size, train=False)
+
+        def forward(image, size):
+            outputs, _, _ = self.segmentor.forward(
+                params, stats, image, label_size=size, train=False)
+            return outputs[-1] if self.spec.family in ("gald", "pranet") \
+                else outputs[0]
+
         fam = self.spec.family
         if fam == "deeplab":
-            out = resize_bilinear(outputs[0].astype(jnp.float32), label_size,
-                                  align_corners=True)
+            # optional TTA on the deeplab path (utility.py:179-209 semantics)
+            from .tta import inference as tta_inference, multi_scale_inference
+            if self.cfg.TEST.MULTI_SCALE:
+                return multi_scale_inference(forward, x, label_size,
+                                             flip=self.cfg.TEST.FLIP_TTA,
+                                             scales=tuple(self.cfg.TEST.SCALES))
+            if self.cfg.TEST.FLIP_TTA:
+                return tta_inference(forward, x, label_size, flip=True)
+            out = resize_bilinear(forward(x, label_size).astype(jnp.float32),
+                                  label_size, align_corners=True)
             return jax.nn.softmax(out, axis=-1)
         if fam == "gald":
-            res2 = outputs[-1]
-            out = resize_bilinear(res2.astype(jnp.float32), label_size,
-                                  align_corners=False)
+            out = resize_bilinear(forward(x, label_size).astype(jnp.float32),
+                                  label_size, align_corners=False)
             return jax.nn.softmax(out, axis=-1)
         if fam == "pranet":
-            res2 = outputs[-1]
-            out = resize_bilinear(res2.astype(jnp.float32), label_size,
-                                  align_corners=False)
+            out = resize_bilinear(forward(x, label_size).astype(jnp.float32),
+                                  label_size, align_corners=False)
             p = jax.nn.sigmoid(out)[..., 0]
             p = (p - p.min()) / (p.max() - p.min() + 1e-8)
             return jnp.stack([1 - p, p], axis=-1)
         if fam in ("attn", "attnwrap"):
-            return jax.nn.sigmoid(outputs[0].astype(jnp.float32))
+            return jax.nn.sigmoid(forward(x, label_size).astype(jnp.float32))
         raise NotImplementedError(fam)
 
     # -- loop --------------------------------------------------------------------

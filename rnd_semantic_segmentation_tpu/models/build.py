@@ -107,9 +107,10 @@ def build_segmentor(cfg, bn_axis_name: Optional[str] = None) -> SegmentorSpec:
             optimizer="adam", ckpt_prefix="Gald", disc_tap="hardnetout3",
         )
     if family == "pranet":
+        bb = backbone or "res2net50"
         return SegmentorSpec(
-            family=family, backbone=backbone or "res2net50",
-            modules={"model": PraNet(bn_axis_name=bn_axis_name)},
+            family=family, backbone=bb,
+            modules={"model": PraNet(backbone=bb, bn_axis_name=bn_axis_name)},
             lr_mults={"model": 0.125},  # Adam at BASE_LR/8 (pranet_trainer.py:20)
             optimizer="adam", ckpt_prefix="PraNet", disc_tap="layer4",
         )

@@ -115,15 +115,27 @@ class Aggregation(nn.Module):
 
 
 class PraNet(nn.Module):
-    """Res2Net50-v1b encoder + partial decoder + 3 reverse-attention branches."""
+    """Res2Net50-v1b encoder + partial decoder + 3 reverse-attention branches.
+
+    ``backbone="resnet50"`` yields the CRANet variant
+    (/root/reference/core/models/classifiers/pranet/PraNet_ResNet.py:102-237):
+    identical decoder on a plain ResNet50 (same tap channels 256/512/1024/2048).
+    """
 
     channel: int = 32
+    backbone: str = "res2net50"
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ax = self.bn_axis_name
-        taps = Res2Net(bn_axis_name=ax, name="resnet")(x, train)
+        if self.backbone == "res2net50":
+            taps = Res2Net(bn_axis_name=ax, name="resnet")(x, train)
+        else:
+            from .resnet import ResNet
+            taps = ResNet(arch=self.backbone, bn_axis_name=ax,
+                          return_layers=("layer1", "layer2", "layer3", "layer4"),
+                          name="resnet")(x, train)
         x1, x2, x3, x4 = taps["layer1"], taps["layer2"], taps["layer3"], taps["layer4"]
 
         x2_rfb = RFBModified(self.channel, bn_axis_name=ax, name="rfb2_1")(x2, train)

@@ -81,9 +81,14 @@ class Trainer:
         self.state = self.segmentor.make_states(variables, txs)
         self.state = replicate_state(self.state, self.mesh)
 
-        if cfg.resume:
-            self.logger.info(f"Loading checkpoint from {cfg.resume}")
-            self.state, self.start_epoch = load_checkpoint(cfg.resume, self.state)
+        resume = cfg.resume
+        if resume == "latest":
+            # fault-tolerance story (SURVEY §5): resume-from-latest recovery
+            from ..ckpt.orbax_io import latest_checkpoint
+            resume = latest_checkpoint(cfg.OUTPUT_DIR, self.spec.ckpt_prefix) or ""
+        if resume:
+            self.logger.info(f"Loading checkpoint from {resume}")
+            self.state, self.start_epoch = load_checkpoint(resume, self.state)
             self.state = replicate_state(self.state, self.mesh)
 
         self.steps_per_epoch = len(train_loader)
