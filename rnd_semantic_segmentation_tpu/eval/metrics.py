@@ -106,6 +106,16 @@ class AverageMeter:
     def micro_f1(self):
         return 2 * self.intersection_sum / (self.target_sum + self.res_sum + 1e-10)
 
+    @property
+    def micro_precision(self):
+        # TP / (TP + FP)  (attn/wrapper.py metric spec, wrapper.py:96-180)
+        return self.intersection_sum / (self.res_sum + 1e-10)
+
+    @property
+    def micro_recall(self):
+        # TP / (TP + FN)
+        return self.intersection_sum / (self.target_sum + 1e-10)
+
     def summary(self, logger=None):
         lines = [
             "Macro metric, val result: mIoU/mF1 {:.4f}/{:.4f}.".format(
@@ -126,6 +136,8 @@ class AverageMeter:
             "macro_mf1": float(np.mean(self.macro_f1)),
             "micro_miou": float(np.mean(self.micro_iou)),
             "micro_mf1": float(np.mean(self.micro_f1)),
+            "micro_precision": float(np.mean(self.micro_precision)),
+            "micro_recall": float(np.mean(self.micro_recall)),
             "per_class_macro_iou": self.macro_iou.tolist(),
             "per_class_macro_f1": self.macro_f1.tolist(),
         }

@@ -42,6 +42,16 @@ from .segmentor import Segmentor
 from .steps import make_optimizers, make_src_train_step
 
 
+def _peak_memory_mb() -> float:
+    """Device peak memory (torch.cuda.max_memory_allocated analog,
+    aspp_trainer.py:125); 0 when the backend doesn't expose stats."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return stats.get("peak_bytes_in_use", 0) / 1024.0 / 1024.0
+    except Exception:
+        return 0.0
+
+
 def _resize_batch_to(batch: Dict, size: int) -> Dict:
     """Multi-scale rate resize (bilinear align_corners=True, matching
     F.upsample in pranet_trainer.py:46-48), on host numpy via jnp."""
@@ -135,7 +145,8 @@ class Trainer:
                     eta = meters.meters["time"].global_avg * (max_iter - iteration)
                     self.logger.info(
                         f"Epoch: {epoch}  eta: {datetime.timedelta(seconds=int(eta))}  "
-                        f"iter: {iteration}  {meters}  lr: {lr:.6f}")
+                        f"iter: {iteration}  {meters}  lr: {lr:.6f}  "
+                        f"max mem: {_peak_memory_mb():.0f}")
             if (epoch % cfg.SOLVER.CHECKPOINT_PERIOD == 0
                     and process_is_primary()):
                 path = checkpoint_name(cfg.OUTPUT_DIR, self.spec.ckpt_prefix, epoch)

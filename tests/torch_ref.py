@@ -30,11 +30,16 @@ def _stub_modules():
         models = types.ModuleType("torchvision.models")
         utils = types.ModuleType("torchvision.models.utils")
         utils.load_state_dict_from_url = lambda *a, **k: {}
+        _utils = types.ModuleType("torchvision.models._utils")
+        _utils.IntermediateLayerGetter = dict
         models.utils = utils
+        models._utils = _utils
+        models.ResNet = object
         tv.models = models
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = models
         sys.modules["torchvision.models.utils"] = utils
+        sys.modules["torchvision.models._utils"] = _utils
     if "inplace_abn" not in sys.modules:
         iabn = types.ModuleType("inplace_abn")
 
