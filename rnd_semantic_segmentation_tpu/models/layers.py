@@ -90,6 +90,7 @@ class ConvTranspose2d(nn.Module):
     kernel_size: _IntPair = 4
     stride: _IntPair = 2
     padding: _IntPair = 1
+    output_padding: int = 0
     use_bias: bool = True
     dtype: Optional[Dtype] = None
     kernel_init: Callable = nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform")
@@ -100,6 +101,7 @@ class ConvTranspose2d(nn.Module):
         kh, kw = _pair(self.kernel_size)
         sh, sw = _pair(self.stride)
         ph, pw = _pair(self.padding)
+        op = self.output_padding
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel", self.kernel_init, (kh, kw, in_ch, self.features), jnp.float32
@@ -109,7 +111,8 @@ class ConvTranspose2d(nn.Module):
             x.astype(dtype),
             kernel.astype(dtype),
             window_strides=(1, 1),
-            padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+            padding=((kh - 1 - ph, kh - 1 - ph + op),
+                     (kw - 1 - pw, kw - 1 - pw + op)),
             lhs_dilation=(sh, sw),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
