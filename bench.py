@@ -22,7 +22,7 @@ from rnd_semantic_segmentation_tpu.models import build_segmentor
 from rnd_semantic_segmentation_tpu.train import Segmentor, make_optimizers, make_src_train_step
 
 PYTORCH_GPU_ANCHOR = 20.0  # images/sec/chip, assumed PyTorch-GPU baseline
-BATCH = 8
+BATCH = 16
 SIZE = 512
 WARMUP = 3
 ITERS = 10
