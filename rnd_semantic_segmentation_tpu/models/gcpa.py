@@ -168,6 +168,44 @@ class FAM(nn.Module):
         return relu(out)
 
 
+class GCPACCNet(nn.Module):
+    """Single-module GCPA-CC variant (gcpa_cc.py:17-79): HarDNet68 + decoder
+    in one module, 1-class heads, a single criss-cross pass."""
+
+    num_classes: int = 1
+    interplanes: int = 256
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ax = self.bn_axis_name
+        taps = HarDNet(arch=68, bn_axis_name=ax, name="hardnet")(x, train)
+        out2, out3, out4, out5_ = taps
+        size = x.shape[1:3]
+
+        h = Conv2d(self.interplanes, 3, padding=1, use_bias=False, name="conva_conv")(out5_)
+        h = BatchNorm(axis_name=ax, name="conva_bn")(h, train)
+        out5_ = relu(h)
+        out5_c = CrissCrossAttention(name="long_relation")(out5_)
+
+        out4_c = LocalAttenModule(bn_axis_name=ax, name="local_attention_4")(out5_c, train)
+        out3_c = LocalAttenModule(bn_axis_name=ax, name="local_attention_3")(out5_c, train)
+        out2_c = LocalAttenModule(bn_axis_name=ax, name="local_attention_2")(out5_c, train)
+
+        out5 = out5_
+        out4 = FAM(self.interplanes, bn_axis_name=ax, name="fam45")(out4, out5, out4_c, train)
+        out3 = FAM(self.interplanes, bn_axis_name=ax, name="fam34")(out3, out4, out3_c, train)
+        out2 = FAM(self.interplanes, bn_axis_name=ax, name="fam23")(out2, out3, out2_c, train)
+
+        heads = []
+        for name, feat in (("linear5", out5), ("linear4", out4),
+                           ("linear3", out3), ("linear2", out2)):
+            y = Conv2d(self.num_classes, 3, padding=1, name=name)(feat)
+            heads.append(resize_bilinear(y.astype(jnp.float32), size,
+                                         align_corners=False))
+        return tuple(heads)
+
+
 class GCPAEncoder(nn.Module):
     """HarDNet68 wrapper returning the 4 taps (gcpa_cc2.py:16-23)."""
 
