@@ -118,6 +118,12 @@ _C.DATA_PIPE = CfgNode()
 _C.DATA_PIPE.NUM_WORKERS = 4
 _C.DATA_PIPE.PREFETCH = 2                 # device-buffer prefetch depth
 _C.DATA_PIPE.SEED = 0
+# TPU-native: run flip/color-jitter/normalize on device (data/device_pipe.py)
+# instead of in the host Augmenter. Pair with AUG.NAME "none" so host
+# augmentation isn't applied twice.
+_C.DATA_PIPE.DEVICE_AUG = False
+# native C++ decode path (native/segdata.cpp) for the loader fast path
+_C.DATA_PIPE.NATIVE_DECODE = False
 
 _C.OUTPUT_DIR = "."
 _C.resume = ""

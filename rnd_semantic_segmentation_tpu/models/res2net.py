@@ -70,11 +70,16 @@ class Bottle2neck(nn.Module):
 
 
 class Res2Net(nn.Module):
-    """res2net50_v1b_26w_4s graph; taps layer1..layer4."""
+    """res2net50_v1b_26w_4s graph; taps layer1..layer4.
+
+    ``gc_blocks=True`` gives the Res2Net_GC variant (encoders/res2net.py:286-
+    340): a GCNet ContextBlock2d prepended to layers 2-4.
+    """
 
     layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
     base_width: int = 26
     scale: int = 4
+    gc_blocks: bool = False
     bn_axis_name: Optional[str] = None
 
     @nn.compact
@@ -93,6 +98,10 @@ class Res2Net(nn.Module):
         inplanes = 64
         for idx, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
             stride = 1 if idx == 0 else 2
+            if self.gc_blocks and idx > 0:
+                from .contextagg import ContextBlock2d
+                x = ContextBlock2d(planes=inplanes,
+                                   name=f"layer{idx + 1}_gcb")(x, train)
             for b in range(blocks):
                 s = stride if b == 0 else 1
                 has_ds = b == 0 and (stride != 1 or inplanes != planes * 4)

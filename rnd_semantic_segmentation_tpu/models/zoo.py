@@ -386,6 +386,30 @@ class RCCAModule(nn.Module):
         return Conv2d(self.num_classes, 1, name="classifier")(out)
 
 
+class SpatialNL(nn.Module):
+    """Plain spatial non-local block with softmax attention
+    (cgnonlocal.py:340-390)."""
+
+    planes: int
+    use_scale: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        n = h * w
+        t = Conv2d(self.planes, 1, use_bias=False, name="t")(x).reshape(b, n, self.planes)
+        p = Conv2d(self.planes, 1, use_bias=False, name="p")(x).reshape(b, n, self.planes)
+        g = Conv2d(self.planes, 1, use_bias=False, name="g")(x).reshape(b, n, self.planes)
+        att = jnp.einsum("bic,bjc->bij", t, p)
+        if self.use_scale:
+            att = att / jnp.sqrt(jnp.asarray(self.planes, jnp.float32))
+        att = jax.nn.softmax(att, axis=-1)
+        y = jnp.einsum("bij,bjc->bic", att, g).reshape(b, h, w, self.planes)
+        y = Conv2d(c, 1, use_bias=False, name="z")(y)
+        y = BatchNorm(name="bn")(y, train)
+        return y + x
+
+
 class SEBlock(nn.Module):
     """Squeeze-and-excitation channel gate (SENet.py)."""
 

@@ -106,6 +106,10 @@ class Trainer:
             self.segmentor, cfg, self.steps_per_epoch,
             base_rng=jax.random.PRNGKey(cfg.SEED + 1))
         self.batch_sharding = batch_sharding(self.mesh)
+        self.device_aug = None
+        if cfg.DATA_PIPE.DEVICE_AUG:
+            from ..data.device_pipe import make_device_augmenter
+            self.device_aug = make_device_augmenter(cfg)
 
     def train(self):
         cfg = self.cfg
@@ -124,6 +128,8 @@ class Trainer:
                                  sharding=self.batch_sharding)
             for i, batch in enumerate(it):
                 tic = time.time()
+                if self.device_aug is not None:
+                    batch = self.device_aug(batch, iteration)
                 for rate in rates:
                     if multiscale and rate != 1.0:
                         size = int(round(trainsize * rate / 32) * 32)

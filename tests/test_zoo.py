@@ -57,3 +57,22 @@ def test_afnb_fusion(rng):
     variables = m.init(jax.random.PRNGKey(0), low, high)
     out = m.apply(variables, low, high)
     assert out.shape == (1, 12, 12, 32)
+
+
+def test_spatial_nl(rng):
+    from rnd_semantic_segmentation_tpu.models.zoo import SpatialNL
+    m = SpatialNL(planes=16)
+    x = jnp.asarray(rng.rand(1, 6, 6, 32).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == x.shape
+
+
+def test_res2net_gc(rng):
+    from rnd_semantic_segmentation_tpu.models import Res2Net
+    m = Res2Net(layers=(1, 1, 1, 1), gc_blocks=True)
+    x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    taps = m.apply(v, x, train=False)
+    assert taps["layer4"].shape == (1, 1, 1, 2048)
+    assert "layer2_gcb" in v["params"]
