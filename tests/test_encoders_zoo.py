@@ -69,3 +69,14 @@ def test_deeplabv3_aspp(rng):
     variables = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(variables, x)
     assert out.shape == (1, 8, 8, 64)
+
+
+def test_resnet3d(rng):
+    from rnd_semantic_segmentation_tpu.models.resnet3d import ResNet3D
+    m = ResNet3D(layers=(1, 1, 1, 1))
+    x = jnp.asarray(rng.rand(1, 8, 32, 32, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    taps = m.apply(v, x, train=False)
+    # stem T-stride 1 so T halves only in the pool/stages: 8->4->4,2,1,1(ceil)
+    assert taps[-1].shape[-1] == 512
+    assert len(taps) == 4
