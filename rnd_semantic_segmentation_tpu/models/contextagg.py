@@ -249,6 +249,59 @@ class ContextBlock2d(nn.Module):
         return out
 
 
+class SNLBlock2d(nn.Module):
+    """Simplified GCNet block: single 1x1 channel transform (gcnet.py:18-44)."""
+
+    planes: int
+    pool: str = "att"
+    fusions: Tuple[str, ...] = ("channel_add",)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        b, h, w, c = x.shape
+        if self.pool == "att":
+            mask = Conv2d(1, 1, name="conv_mask")(x).reshape(b, h * w, 1)
+            mask = jax.nn.softmax(mask, axis=1)
+            context = jnp.einsum("bpc,bpo->boc", x.reshape(b, h * w, c), mask)
+            context = context.reshape(b, 1, 1, c)
+        else:
+            context = adaptive_avg_pool_1x1(x)
+        out = x
+        if "channel_add" in self.fusions:
+            out = out + Conv2d(self.planes, 1, name="channel_add_conv")(context)
+        if "channel_mul" in self.fusions:
+            out = out * nn.sigmoid(Conv2d(self.planes, 1,
+                                          name="channel_mul_conv")(context))
+        return out
+
+
+class GCHead(nn.Module):
+    """conva -> ContextBlock2d -> convb -> bottleneck classifier
+    (gcnet.py:167-205; the reference hardcodes a 512-ch classifier input,
+    corrected here per-interplanes like GALDHead)."""
+
+    interplanes: int = 512
+    num_classes: int = 19
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ax = self.bn_axis_name
+        out = Conv2d(self.interplanes, 3, padding=1, use_bias=False,
+                     name="conva_conv")(x)
+        out = relu(BatchNorm(axis_name=ax, name="conva_bn")(out, train))
+        out = ContextBlock2d(planes=self.interplanes, name="a2block")(out, train)
+        out = Conv2d(self.interplanes, 3, padding=1, use_bias=False,
+                     name="convb_conv")(out)
+        out = relu(BatchNorm(axis_name=ax, name="convb_bn")(out, train))
+        out = jnp.concatenate([x, out], axis=-1)
+        out = Conv2d(self.interplanes, 3, padding=1, use_bias=False,
+                     name="bottleneck_conv")(out)
+        out = relu(BatchNorm(axis_name=ax, name="bottleneck_bn")(out, train))
+        return Conv2d(self.num_classes, 1, name="classifier")(out)
+
+
 def gkern(kernlen: int = 16, nsig: float = 3.0) -> np.ndarray:
     """Gaussian kernel via normal CDF differences (HolisticAttention.py:10-16),
     scipy-free (norm.cdf == 0.5*(1+erf(x/sqrt(2))))."""

@@ -80,3 +80,14 @@ def test_holistic_attention(rng):
     variables = m.init(jax.random.PRNGKey(0), att, x)
     out = m.apply(variables, att, x)
     assert out.shape == x.shape
+
+
+def test_snl_block_and_gchead(rng):
+    from rnd_semantic_segmentation_tpu.models.contextagg import GCHead, SNLBlock2d
+    x = jnp.asarray(rng.rand(1, 8, 8, 64).astype(np.float32))
+    m = SNLBlock2d(planes=64)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == x.shape
+    h = GCHead(interplanes=32, num_classes=5)
+    v = h.init(jax.random.PRNGKey(0), x)
+    assert h.apply(v, x).shape == (1, 8, 8, 5)

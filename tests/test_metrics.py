@@ -55,3 +55,24 @@ def test_average_meter_perfect_prediction():
     s = m.summary()
     assert abs(s["macro_miou"] - 1.0) < 1e-6
     assert abs(s["micro_mf1"] - 1.0) < 1e-6
+
+
+def test_plot_helpers(tmp_path, rng):
+    from rnd_semantic_segmentation_tpu.utils.plots import (
+        LineChartPlotter, plot_confusion_matrix, preds2ignorepreds,
+        threshold_mask)
+    assert threshold_mask(np.array([100, 200]), 128).tolist() == [0, 1]
+    gt = np.array([[7, 8], [0, 33]])
+    pd = np.array([[0, 1], [2, 3]])
+    g2, p2 = preds2ignorepreds({"7": 0, "8": 1, "33": 18}, gt, pd)
+    assert g2.tolist() == [[0, 1], [255, 18]]
+    assert p2.tolist() == [[0, 1], [255, 3]]
+    cm = rng.rand(3, 3) * 100
+    out = plot_confusion_matrix(cm, ["a", "b", "c"],
+                                out_path=str(tmp_path / "cm.png"))
+    import os
+    assert os.path.exists(out)
+    lp = LineChartPlotter("t", "x", "y", str(tmp_path / "lc.png"))
+    lp.add_chart({"x": [0, 1], "y": [1.0, 0.5], "label": "loss"})
+    lp.display()
+    assert os.path.exists(tmp_path / "lc.png")
