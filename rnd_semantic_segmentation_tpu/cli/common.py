@@ -40,4 +40,7 @@ def load_cfg(args):
         cfg.merge_from_list(args.opts)
     cfg.freeze()
     _maybe_force_cpu(cfg)
+    if cfg.DEBUG.NANS:
+        import jax
+        jax.config.update("jax_debug_nans", True)
     return cfg

@@ -125,6 +125,14 @@ _C.DATA_PIPE.DEVICE_AUG = False
 # native C++ decode path (native/segdata.cpp) for the loader fast path
 _C.DATA_PIPE.NATIVE_DECODE = False
 
+# ---------------------------------------------------------------------------
+# Debug / sanitizers (replaces torch.autograd.set_detect_anomaly,
+# train_distill.py:63)
+# ---------------------------------------------------------------------------
+_C.DEBUG = CfgNode()
+_C.DEBUG.NANS = False                     # jax_debug_nans
+_C.DEBUG.CHECKIFY = False                 # reserved: checkify index checks
+
 _C.OUTPUT_DIR = "."
 _C.resume = ""
 _C.PSEUDO_DIR = ""

@@ -88,9 +88,12 @@ def make_fada_train_step(segmentor: Segmentor, disc_module, cfg,
             return outputs[-1]
         return outputs[0]
 
+    compute_dtype = jnp.dtype(cfg.MODEL.DTYPE)
+
     def step_fn(state: FadaState, src_batch, tgt_batch, epoch0):
-        src_x, src_label = src_batch["image"], src_batch["label"]
-        tgt_x = tgt_batch["image"]
+        src_x = src_batch["image"].astype(compute_dtype)
+        src_label = src_batch["label"]
+        tgt_x = tgt_batch["image"].astype(compute_dtype)
         src_size = src_x.shape[1:3]
         tgt_size = tgt_x.shape[1:3]
         stats = {n: m.stats for n, m in state.seg.modules.items()}

@@ -120,8 +120,10 @@ def make_src_train_step(segmentor: Segmentor, cfg, steps_per_epoch: int,
     if base_rng is None:
         base_rng = jax.random.PRNGKey(cfg.SEED)
 
+    compute_dtype = jnp.dtype(cfg.MODEL.DTYPE)
+
     def step_fn(state: TrainState, batch, epoch0):
-        x = batch["image"]
+        x = batch["image"].astype(compute_dtype)
         label = batch["label"]
         stats = {n: m.stats for n, m in state.modules.items()}
         rngs = {"dropout": jax.random.fold_in(base_rng, state.step)}

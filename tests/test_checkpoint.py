@@ -19,6 +19,7 @@ from rnd_semantic_segmentation_tpu.train import Segmentor, make_optimizers, make
 def test_roundtrip_resume(tmp_path):
     cfg = get_default_cfg()
     cfg.MODEL.NAME = "deeplab_resnet18"
+    cfg.MODEL.DTYPE = "float32"
     cfg.MODEL.NUM_CLASSES = 3
     cfg.SOLVER.BASE_LR = 1e-4
     spec = build_segmentor(cfg)
@@ -55,6 +56,7 @@ def test_roundtrip_resume(tmp_path):
 def test_latest_checkpoint_discovery(tmp_path):
     cfg = get_default_cfg()
     cfg.MODEL.NAME = "deeplab_resnet18"
+    cfg.MODEL.DTYPE = "float32"
     cfg.MODEL.NUM_CLASSES = 2
     spec = build_segmentor(cfg)
     seg = Segmentor(spec, 2)

@@ -21,6 +21,7 @@ from rnd_semantic_segmentation_tpu.utils import setup_logger
 def _cfg(tmp_path, name="deeplab_resnet18", nc=3, epochs=1):
     cfg = get_default_cfg()
     cfg.MODEL.NAME = name
+    cfg.MODEL.DTYPE = "float32"
     cfg.MODEL.NUM_CLASSES = nc
     cfg.MODEL.FREEZE_BN = True
     cfg.DATASETS.SOURCE_TRAIN = "synthetic_train"

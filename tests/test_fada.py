@@ -19,6 +19,7 @@ from rnd_semantic_segmentation_tpu.train.fada import (
 def _setup(name="deeplab_resnet18", nc=3, size=32):
     cfg = get_default_cfg()
     cfg.MODEL.NAME = name
+    cfg.MODEL.DTYPE = "float32"
     cfg.MODEL.NUM_CLASSES = nc
     cfg.MODEL.FREEZE_BN = True
     cfg.SOLVER.BASE_LR = 1e-4

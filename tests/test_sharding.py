@@ -22,6 +22,7 @@ from rnd_semantic_segmentation_tpu.train import Segmentor, make_optimizers, make
 def _setup(spatial=1):
     cfg = get_default_cfg()
     cfg.MODEL.NAME = "deeplab_resnet18"
+    cfg.MODEL.DTYPE = "float32"
     cfg.MODEL.NUM_CLASSES = 3
     cfg.MODEL.FREEZE_BN = True
     cfg.SOLVER.BASE_LR = 1e-4

@@ -19,6 +19,7 @@ from rnd_semantic_segmentation_tpu.train import Segmentor, make_optimizers, make
 def _setup(name, num_classes, size, base_lr=1e-3, batch=2):
     cfg = get_default_cfg()
     cfg.MODEL.NAME = name
+    cfg.MODEL.DTYPE = "float32"
     cfg.MODEL.NUM_CLASSES = num_classes
     cfg.SOLVER.BASE_LR = base_lr
     cfg.SOLVER.EPOCHS = 2
