@@ -217,11 +217,16 @@ class GCPAEncoder(nn.Module):
 
 
 class GCPADecoder(nn.Module):
-    """GCPA-CC decoder producing 4 per-scale class maps at input resolution."""
+    """GCPA-CC decoder producing 4 per-scale class maps at input resolution.
+
+    ``use_pallas``: None = auto (Pallas kernel on TPU); set False under
+    GSPMD spatial sharding (pallas_call does not auto-partition).
+    """
 
     num_classes: int = 19
     interplanes: int = 256
     bn_axis_name: Optional[str] = None
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, hardnetout, train: bool = False):
@@ -235,7 +240,8 @@ class GCPADecoder(nn.Module):
 
         # two passes through the SAME criss-cross module (shared weights,
         # gcpa_cc2.py:59-60)
-        long_relation = CrissCrossAttention(name="long_relation")
+        long_relation = CrissCrossAttention(use_pallas=self.use_pallas,
+                                            name="long_relation")
         out5_c = long_relation(out5_)
         out5_c = long_relation(out5_c)
 
