@@ -57,6 +57,12 @@ class DatasetCatalog:
         if "gta5" in name:
             return GTA5FoldDataSet(cfg, root, mode=mode, cross_val=cross_val,
                                    transform=transform)
+        if "synthia" in name:
+            from .datasets import SynthiaDataSet
+            return SynthiaDataSet(root,
+                                  data_list=os.path.join(data_dir, attrs.get("data_list", "")),
+                                  num_classes=num_classes, mode=mode,
+                                  transform=transform)
         if "cityscapes" in name:
             if "distill" in name:
                 label_dir = os.path.join(data_dir, attrs["label_dir"])

@@ -255,6 +255,52 @@ class BLIDataset(_Base):
         return image, mask, name
 
 
+class SynthiaDataSet(_Base):
+    """SYNTHIA-RAND-CITYSCAPES source dataset.
+
+    The reference's catalog dispatches to ``synthiaDataSet`` whose import is
+    commented out (dataset_path_catalog.py:4, :80-86 would NameError) — the
+    class itself never shipped.  This implementation follows the standard
+    FADA/SYNTHIA layout the configs imply: images under RGB/, labels under
+    GT/LABELS/ (uint16 PNG, class ids in channel 0), remapped to the 16-class
+    Cityscapes-compatible train ids.
+    """
+
+    # SYNTHIA class id -> 16-class train id (FADA convention)
+    ID_TO_TRAINID = {3: 0, 4: 1, 2: 2, 21: 3, 5: 4, 7: 5, 15: 6, 9: 7,
+                     6: 8, 1: 9, 10: 10, 17: 11, 8: 12, 19: 13, 12: 14, 11: 15}
+
+    def __init__(self, data_root, data_list="", num_classes=16, mode="train",
+                 transform=None, ignore_label=255, debug=False):
+        self.data_root = data_root
+        self.transform = transform
+        self.ignore_label = ignore_label
+        self.debug = debug
+        self.image_paths = sorted(glob(os.path.join(data_root, "RGB") + "/*.png"))
+        if data_list and os.path.exists(data_list):
+            names = {l.strip() for l in open(data_list)}
+            self.image_paths = [p for p in self.image_paths
+                                if os.path.basename(p) in names]
+
+    def __getitem__(self, index):
+        if self.debug:
+            index = 0
+        path = self.image_paths[index]
+        img_name = os.path.basename(path)
+        image = Image.open(path).convert("RGB")
+        label_arr = np.asarray(
+            Image.open(os.path.join(self.data_root, "GT/LABELS", img_name)))
+        if label_arr.ndim == 3:
+            label_arr = label_arr[..., 0]
+        label = Image.fromarray(remap_labels(label_arr.astype(np.float32),
+                                             self.ID_TO_TRAINID,
+                                             self.ignore_label))
+        name = img_name[:-4]
+        if self.transform is not None:
+            image, label = self.transform(image, label)
+        return np.asarray(image), np.asarray(label), name
+
+
 class SyntheticDataset(_Base):
     """Deterministic random-blob segmentation data for tests and benchmarks."""
 

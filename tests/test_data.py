@@ -77,3 +77,23 @@ def test_loader_determinism_with_seed():
     b1 = next(iter(l1))
     b2 = next(iter(l2))
     np.testing.assert_array_equal(b1["image"], b2["image"])
+
+
+def test_synthia_dataset(tmp_path):
+    from rnd_semantic_segmentation_tpu.data.datasets import SynthiaDataSet
+    root = str(tmp_path / "synthia")
+    os.makedirs(os.path.join(root, "RGB"))
+    os.makedirs(os.path.join(root, "GT/LABELS"))
+    rng = np.random.RandomState(0)
+    img = (rng.rand(20, 24, 3) * 255).astype(np.uint8)
+    # SYNTHIA ids incl. some unmapped
+    lab = np.array([[3, 4, 2, 21], [99, 15, 1, 11]] * 10, np.uint8)[:20, :4]
+    lab = np.pad(lab, ((0, 0), (0, 20)), constant_values=0)
+    Image.fromarray(img).save(os.path.join(root, "RGB", "a.png"))
+    Image.fromarray(lab).save(os.path.join(root, "GT/LABELS", "a.png"))
+    ds = SynthiaDataSet(root)
+    image, label, name = ds[0]
+    assert name == "a"
+    assert label.shape == (20, 24)
+    assert label[0, 0] == 0 and label[0, 1] == 1  # 3->0, 4->1
+    assert label[1, 0] == 255  # unmapped id 99 -> ignore
