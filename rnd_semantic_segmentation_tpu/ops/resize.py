@@ -60,6 +60,55 @@ def interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarra
     return _interp_matrix_np(int(in_size), int(out_size), bool(align_corners))
 
 
+@functools.lru_cache(maxsize=None)
+def _interp_taps_np(in_size: int, out_size: int, align_corners: bool):
+    """(lo_idx, hi_idx, frac) 1-D tap arrays — same coordinates as the matrix."""
+    if align_corners and out_size > 1:
+        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    elif align_corners:
+        src = np.zeros((1,), dtype=np.float64)
+    else:
+        scale = in_size / out_size
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+        src = np.maximum(src, 0.0)
+    src = np.minimum(src, in_size - 1)
+    lo = np.floor(src).astype(np.int32)
+    hi = np.minimum(lo + 1, in_size - 1).astype(np.int32)
+    frac = (src - lo).astype(np.float32)
+    return lo, hi, frac
+
+
+def resize_bilinear_gather(
+    x: jnp.ndarray,
+    size: Tuple[int, int],
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Gather+lerp formulation (identical math; torch bilinear is 2-tap).
+    Measured SLOWER than the matmul form on TPU v5e for the 64->512 training
+    upsample — kept as a variant for gather-friendly shapes.
+    """
+    h_out, w_out = int(size[0]), int(size[1])
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h_in, w_in, c = x.shape
+    if (h_in, w_in) == (h_out, w_out):
+        return x[0] if squeeze else x
+    dtype = x.dtype
+    out = x.astype(jnp.float32)
+
+    lo, hi, frac = _interp_taps_np(h_in, h_out, align_corners)
+    if h_out != h_in:
+        fy = jnp.asarray(frac)[None, :, None, None]
+        out = out[:, jnp.asarray(lo)] * (1 - fy) + out[:, jnp.asarray(hi)] * fy
+    lo, hi, frac = _interp_taps_np(w_in, w_out, align_corners)
+    if w_out != w_in:
+        fx = jnp.asarray(frac)[None, None, :, None]
+        out = out[:, :, jnp.asarray(lo)] * (1 - fx) + out[:, :, jnp.asarray(hi)] * fx
+    out = out.astype(dtype)
+    return out[0] if squeeze else out
+
+
 def resize_bilinear(
     x: jnp.ndarray,
     size: Tuple[int, int],
@@ -68,9 +117,9 @@ def resize_bilinear(
     """Bilinear-resize NHWC (or HWC) tensor to ``size`` = (H_out, W_out).
 
     Bit-matches ``torch.nn.functional.interpolate(x, size, mode="bilinear",
-    align_corners=...)`` up to float associativity.  Interpolation is done in
-    float32 regardless of input dtype, then cast back.
-    """
+    align_corners=...)`` up to float associativity; interpolation matrices
+    are trace-time constants and the two passes run on the MXU (measured
+    faster than the gather+lerp formulation on TPU v5e)."""
     h_out, w_out = int(size[0]), int(size[1])
     squeeze = x.ndim == 3
     if squeeze:
@@ -82,7 +131,6 @@ def resize_bilinear(
     xf = x.astype(jnp.float32)
     wh = jnp.asarray(_interp_matrix_np(h_in, h_out, align_corners))
     ww = jnp.asarray(_interp_matrix_np(w_in, w_out, align_corners))
-    # [N,H,W,C] -> H matmul -> [N,H',W,C] -> W matmul -> [N,H',W',C]
     out = jnp.einsum("oh,nhwc->nowc", wh, xf, precision="highest")
     out = jnp.einsum("pw,nowc->nopc", ww, out, precision="highest")
     out = out.astype(dtype)
