@@ -36,7 +36,11 @@ def cross_entropy(logits: Array, labels: Array, ignore_index: int = 255) -> Arra
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    # one-hot multiply-reduce instead of take_along_axis: the per-pixel class
+    # gather lowers to a ~serial TPU fusion (measured 65 ms/step at 512^2x19),
+    # while compare+select+reduce vectorizes on the VPU.
+    onehot = jax.nn.one_hot(safe_labels, logits.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     nll = jnp.where(valid, nll, 0.0)
     denom = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(nll) / denom
