@@ -190,9 +190,12 @@ class FrozenBatchNorm(nn.Module):
         mean = self.variable("frozen", "mean", lambda: jnp.zeros((c,), jnp.float32))
         var = self.variable("frozen", "var", lambda: jnp.ones((c,), jnp.float32))
         dtype = self.dtype or x.dtype
+        # scale/shift folded in f32, applied in the activation dtype — avoids
+        # f32<->bf16 round trips around every conv on the bf16 training path
+        # (f32 parity paths are unchanged)
         scale = weight.value * lax.rsqrt(var.value)
         shift = bias.value - mean.value * scale
-        return (x.astype(jnp.float32) * scale + shift).astype(dtype)
+        return x * scale.astype(dtype) + shift.astype(dtype)
 
 
 class GroupNorm(nn.Module):
