@@ -17,8 +17,53 @@ from .common import base_parser, load_cfg
 from .train_src import main as train_src_main
 
 
+def _online_distill(name: str, cfg, local_rank: int) -> None:
+    """TPU-native online mode: teacher forward lives in the train graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import DataLoader, build_collate_fn, build_dataset
+    from ..eval.tester import load_torch_checkpoint_variables
+    from ..train.distill import make_online_distill_step
+    from ..train.trainer import Trainer
+
+    loader = DataLoader(
+        build_dataset(cfg, "train", is_source=True),
+        batch_size=cfg.SOLVER.BATCH_SIZE, shuffle=True, drop_last=True,
+        num_workers=cfg.DATA_PIPE.NUM_WORKERS,
+        collate_fn=build_collate_fn(cfg), seed=cfg.DATA_PIPE.SEED)
+    trainer = Trainer(name, cfg, loader, local_rank)
+
+    # teacher variables: reference .pth or an orbax dir of this framework
+    if cfg.DISTILL.TEACHER.endswith(".pth"):
+        tvars = load_torch_checkpoint_variables(cfg, trainer.spec,
+                                                cfg.DISTILL.TEACHER)
+    else:
+        from ..ckpt.orbax_io import load_checkpoint
+        from ..train.steps import make_optimizers
+        sample = next(iter(loader))
+        x = jnp.zeros(sample["image"].shape, jnp.float32)
+        template = trainer.segmentor.make_states(
+            trainer.segmentor.init(jax.random.PRNGKey(0), x),
+            make_optimizers(trainer.spec, cfg))
+        tstate, _ = load_checkpoint(cfg.DISTILL.TEACHER, template)
+        tvars = {n: {"params": m.params, **m.stats}
+                 for n, m in tstate.modules.items()}
+    t_params = {n: dict(v)["params"] for n, v in tvars.items()}
+    t_stats = {n: {k: c for k, c in dict(v).items() if k != "params"}
+               for n, v in tvars.items()}
+    trainer.step_fn = make_online_distill_step(
+        trainer.segmentor, cfg, trainer.steps_per_epoch, t_params, t_stats,
+        confidence_threshold=cfg.DISTILL.CONFIDENCE_THRESHOLD,
+        base_rng=jax.random.PRNGKey(cfg.SEED + 1))
+    trainer.train()
+
+
 def main(name: str, cfg, local_rank: int = 0, distributed: bool = False) -> None:
-    train_src_main(name, cfg, local_rank)
+    if cfg.DISTILL.ONLINE:
+        _online_distill(name, cfg, local_rank)
+    else:
+        train_src_main(name, cfg, local_rank)
 
 
 def cli():

@@ -126,6 +126,14 @@ _C.DATA_PIPE.DEVICE_AUG = False
 _C.DATA_PIPE.NATIVE_DECODE = False
 
 # ---------------------------------------------------------------------------
+# Self-distillation (TPU-native online mode: teacher forward in-graph)
+# ---------------------------------------------------------------------------
+_C.DISTILL = CfgNode()
+_C.DISTILL.ONLINE = False                 # teacher in the same XLA graph
+_C.DISTILL.TEACHER = ""                   # teacher checkpoint (orbax dir/.pth)
+_C.DISTILL.CONFIDENCE_THRESHOLD = 0.0     # pseudo-label confidence gate
+
+# ---------------------------------------------------------------------------
 # Debug / sanitizers (replaces torch.autograd.set_detect_anomaly,
 # train_distill.py:63)
 # ---------------------------------------------------------------------------

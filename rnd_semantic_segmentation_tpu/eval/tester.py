@@ -40,6 +40,45 @@ from .metrics import AverageMeter, confusion_matrix, intersection_and_union
 from .palette import save_pseudo_label
 
 
+def load_torch_checkpoint_variables(cfg, spec, path: str) -> Dict:
+    """Reference ``.pth`` checkpoint -> per-module flax variables
+    (layouts from aspp_tester.py:25-31, gald_tester.py:26-29, etc.)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    fam = spec.family
+    freeze = cfg.MODEL.FREEZE_BN
+
+    def conv(part, rules, **kw):
+        sd = {k: v.detach().cpu().numpy() for k, v in ckpt[part].items()}
+        sd = TI.strip_prefix_if_present(sd, "module.")
+        return TI.convert_state_dict(sd, rules, **kw)
+
+    if fam == "deeplab":
+        return {
+            "feature_extractor": conv("feature_extractor",
+                                      TI.RESNET_BACKBONE_RULES,
+                                      freeze_bn=freeze),
+            "classifier": conv("classifier", TI.ASPP_CLASSIFIER_RULES),
+        }
+    if fam == "gald":
+        return {
+            "encoder": conv("encoder", TI.GCPA_ENCODER_RULES,
+                            skip=("num_batches_tracked", "base.19")),
+            "decoder": conv("decoder", TI.GCPA_DECODER_RULES),
+        }
+    if fam == "pranet":
+        return {"model": conv("model", TI.PRANET_RULES)}
+    if fam in ("attn", "attnwrap"):
+        return {
+            "encoder": conv("encoder", TI.ATTN_ENCODER_RULES),
+            "decoder": conv("decoder", TI.ATTN_DECODER_RULES,
+                            transposed_conv_paths=TI.ATTN_DECODER_TRANSPOSED,
+                            skip=("num_batches_tracked", "decode_0")),
+        }
+    raise NotImplementedError(fam)
+
+
 class Tester:
     __test__ = False  # not a pytest class
 
@@ -75,40 +114,7 @@ class Tester:
             }
 
     def _load_torch_checkpoint(self, path: str) -> Dict:
-        import torch
-
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
-        fam = self.spec.family
-        freeze = self.cfg.MODEL.FREEZE_BN
-
-        def conv(part, rules, **kw):
-            sd = {k: v.detach().cpu().numpy() for k, v in ckpt[part].items()}
-            sd = TI.strip_prefix_if_present(sd, "module.")
-            return TI.convert_state_dict(sd, rules, **kw)
-
-        if fam == "deeplab":
-            return {
-                "feature_extractor": conv("feature_extractor",
-                                          TI.RESNET_BACKBONE_RULES,
-                                          freeze_bn=freeze),
-                "classifier": conv("classifier", TI.ASPP_CLASSIFIER_RULES),
-            }
-        if fam == "gald":
-            return {
-                "encoder": conv("encoder", TI.GCPA_ENCODER_RULES,
-                                skip=("num_batches_tracked", "base.19")),
-                "decoder": conv("decoder", TI.GCPA_DECODER_RULES),
-            }
-        if fam == "pranet":
-            return {"model": conv("model", TI.PRANET_RULES)}
-        if fam in ("attn", "attnwrap"):
-            return {
-                "encoder": conv("encoder", TI.ATTN_ENCODER_RULES),
-                "decoder": conv("decoder", TI.ATTN_DECODER_RULES,
-                                transposed_conv_paths=TI.ATTN_DECODER_TRANSPOSED,
-                                skip=("num_batches_tracked", "decode_0")),
-            }
-        raise NotImplementedError(fam)
+        return load_torch_checkpoint_variables(self.cfg, self.spec, path)
 
     # -- probability head ------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0, 3))
