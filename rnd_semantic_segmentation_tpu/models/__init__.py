@@ -34,3 +34,29 @@ from .hardnet import HarDBlock, HarDNet
 from .pranet import PraNet
 from .res2net import Res2Net
 from .resnet import ResNet
+from .encoders_zoo import B2VGG, B2ResNet, DeepLabV3ASPP, RepVGG, repvgg_reparam
+from .fam_variants import FAMAG, FAMPra, FAMSCWS, FAMAGv3
+from .gcpa import GCPACCNet
+from .grl import gradient_reverse
+from .nets_zoo import BiSeNetV1, CENet, DACBlock, SPPBlock, UNet
+from .resnet3d import ResNet3D
+from .seg_nets import (
+    CCNetSegModel,
+    DilatedSegBackbone,
+    DualSegNet,
+    GALDNetFull,
+    PSPNetFull,
+)
+from .zoo import (
+    AFNB,
+    APNB,
+    A2Net,
+    DualGCN,
+    DualGCNHead,
+    NLBlockND,
+    RCCAModule,
+    SEBlock,
+    SpatialCGNLx,
+    SpatialGCN,
+    SpatialNL,
+)
