@@ -33,6 +33,22 @@ def avg_pool(
     x: jnp.ndarray, kernel: int, stride: int, padding: int = 0,
     count_include_pad: bool = True,
 ) -> jnp.ndarray:
+    if count_include_pad and kernel >= 7:
+        # separable two-pass sum: O(k) adds/pixel instead of O(k^2) —
+        # mathematically identical for count_include_pad=True windows
+        # (PraNet's 31x31 structure-loss window, pranet_trainer.py:23)
+        xf = x.astype(jnp.float32)
+        row = lax.reduce_window(
+            xf, 0.0, lax.add,
+            window_dimensions=(1, kernel, 1, 1),
+            window_strides=(1, stride, 1, 1),
+            padding=((0, 0), (padding, padding), (0, 0), (0, 0)))
+        summed = lax.reduce_window(
+            row, 0.0, lax.add,
+            window_dimensions=(1, 1, kernel, 1),
+            window_strides=(1, 1, stride, 1),
+            padding=((0, 0), (0, 0), (padding, padding), (0, 0)))
+        return (summed / float(kernel * kernel)).astype(x.dtype)
     pad = ((0, 0), (padding, padding), (padding, padding), (0, 0))
     summed = lax.reduce_window(
         x.astype(jnp.float32), 0.0, lax.add,

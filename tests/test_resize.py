@@ -55,3 +55,15 @@ def test_hwc_rank3(rng):
     x = rng.randn(5, 6, 2).astype(np.float32)
     out = resize_bilinear(jnp.asarray(x), (10, 12))
     assert out.shape == (10, 12, 2)
+
+
+def test_avg_pool_separable_matches_torch(rng):
+    """avg_pool large-kernel separable path vs torch (incl. stride/padding)."""
+    from rnd_semantic_segmentation_tpu.ops import avg_pool
+    x = rng.randn(2, 33, 35, 3).astype(np.float32)
+    for k, s, p in [(31, 1, 15), (7, 2, 3), (7, 3, 2)]:
+        ours = np.asarray(avg_pool(jnp.asarray(x), k, s, padding=p))
+        ref = TF.avg_pool2d(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                            kernel_size=k, stride=s, padding=p
+                            ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5, err_msg=f"{k},{s},{p}")
