@@ -203,6 +203,18 @@ GCPA_ENCODER_RULES = [
     (r"&", "/"),
 ]
 
+# CRANet (PraNet on plain torchvision-style ResNet, PraNet_ResNet.py:102-237):
+# same head rules as PraNet, backbone uses standard layerX.Y names
+CRANET_RULES = [
+    (r"^resnet\.", "resnet&"),
+    (r"branch(\d)\.(\d)\.", r"branch\1_\2/"),
+    (r"\.", "/"),
+    (r"layer(\d+)/(\d+)/", r"layer\1_\2/"),
+    (r"downsample/0$", "downsample_conv"),
+    (r"downsample/1$", "downsample_bn"),
+    (r"&", "/"),
+]
+
 # efficientnet-pytorch
 EFFICIENTNET_RULES = [
     (r"^_blocks\.(\d+)\.", r"blocks_\1/"),

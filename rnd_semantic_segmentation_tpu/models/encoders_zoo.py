@@ -204,6 +204,86 @@ class B2VGG(nn.Module):
         return branch(x, "_1"), branch(x, "_2")
 
 
+# --------------------------------------------------------------- SE-ResNet ----
+class SEBasicBlock(nn.Module):
+    """ResNet basic block with a squeeze-excitation gate (SENet.py)."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    reduction: int = 16
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .zoo import SEBlock
+
+        ax = self.bn_axis_name
+        identity = x
+        out = Conv2d(self.planes, 3, self.stride, padding=1, use_bias=False,
+                     name="conv1")(x)
+        out = relu(BatchNorm(axis_name=ax, name="bn1")(out, train))
+        out = Conv2d(self.planes, 3, padding=1, use_bias=False, name="conv2")(out)
+        out = BatchNorm(axis_name=ax, name="bn2")(out, train)
+        out = SEBlock(reduction=self.reduction, name="se")(out, train)
+        if self.has_downsample:
+            identity = Conv2d(self.planes, 1, self.stride, use_bias=False,
+                              name="downsample_conv")(x)
+            identity = BatchNorm(axis_name=ax, name="downsample_bn")(identity, train)
+        return relu(out + identity)
+
+
+class SEResNet(nn.Module):
+    """SE-ResNet encoder (SENet.py variants); returns stage taps."""
+
+    layers: Tuple[int, int, int, int] = (2, 2, 2, 2)
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ax = self.bn_axis_name
+        x = Conv2d(64, 7, 2, padding=3, use_bias=False, name="conv1")(x)
+        x = relu(BatchNorm(axis_name=ax, name="bn1")(x, train))
+        x = max_pool(x, 3, 2, padding=1)
+        taps = []
+        inplanes = 64
+        for idx, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
+            stride = 1 if idx == 0 else 2
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                has_ds = b == 0 and (s != 1 or inplanes != planes)
+                x = SEBasicBlock(planes, s, has_ds, bn_axis_name=ax,
+                                 name=f"layer{idx + 1}_{b}")(x, train)
+                inplanes = planes
+            taps.append(x)
+        return tuple(taps)
+
+
+# ------------------------------------------------------------- DeepLabv3 ----
+class DeepLabV3(nn.Module):
+    """Full DeepLabv3 (contextagg/aspp.py Atrous_ResNet + DeepLabv3): dilated
+    ResNet backbone + rates-ASPP + 1x1 classifier at OS16."""
+
+    num_classes: int = 19
+    backbone_arch: str = "resnet50"
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from .resnet import ResNet
+
+        taps = ResNet(arch=self.backbone_arch,
+                      replace_stride_with_dilation=(False, False, True),
+                      bn_axis_name=self.bn_axis_name,
+                      return_layers=("layer4",), name="backbone")(x, train)
+        feat = taps["layer4"]
+        feat = DeepLabV3ASPP(out_channels=256, bn_axis_name=self.bn_axis_name,
+                             name="aspp")(feat, train)
+        out = Conv2d(self.num_classes, 1, name="classifier")(feat)
+        return resize_bilinear(out.astype(jnp.float32), x.shape[1:3],
+                               align_corners=False)
+
+
 # -------------------------------------------------- DeepLabV3+ ASPP module ----
 class DeepLabV3ASPP(nn.Module):
     """Rates-(6,12,18) atrous pyramid + global-pool branch -> 1x1 project

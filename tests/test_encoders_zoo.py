@@ -80,3 +80,17 @@ def test_resnet3d(rng):
     # stem T-stride 1 so T halves only in the pool/stages: 8->4->4,2,1,1(ceil)
     assert taps[-1].shape[-1] == 512
     assert len(taps) == 4
+
+
+def test_se_resnet_and_deeplabv3(rng):
+    from rnd_semantic_segmentation_tpu.models.encoders_zoo import DeepLabV3, SEResNet
+    m = SEResNet(layers=(1, 1, 1, 1))
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    taps = m.apply(v, x)
+    assert taps[-1].shape == (1, 2, 2, 512)
+
+    d = DeepLabV3(num_classes=7, backbone_arch="resnet18")
+    v = d.init(jax.random.PRNGKey(0), x)
+    out = d.apply(v, x)
+    assert out.shape == (1, 64, 64, 7)
