@@ -64,6 +64,19 @@ def cli():
     fig.savefig(args.output, dpi=100)
     logger.info(f"saved {args.output}")
 
+    if render.get("tensorboard"):
+        # dependency-free event writer (utils/tb_writer.py) replaces
+        # torch.utils.tensorboard (demo.py:301-311)
+        from ..utils.tb_writer import SummaryWriter
+        writer = SummaryWriter(os.path.join(cfg.OUTPUT_DIR, "tb_demo"))
+        for r, img_path in enumerate(images):
+            pred = get_pred(cfg, img_path, logger)
+            colored = np.asarray(
+                get_color_palette(pred, palette).convert("RGB"))
+            writer.add_image(os.path.basename(img_path), colored, step=r)
+        writer.close()
+        logger.info(f"tensorboard events in {cfg.OUTPUT_DIR}/tb_demo")
+
 
 if __name__ == "__main__":
     cli()
