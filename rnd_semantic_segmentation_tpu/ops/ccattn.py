@@ -117,9 +117,29 @@ def cc_attention_core_pallas(q, k, v, interpret: bool = False):
     return out.astype(v.dtype)
 
 
+@jax.custom_vjp
+def _cc_pallas_ad(q, k, v):
+    return cc_attention_core_pallas(q, k, v)
+
+
+def _cc_pallas_fwd(q, k, v):
+    return cc_attention_core_pallas(q, k, v), (q, k, v)
+
+
+def _cc_pallas_bwd(res, g):
+    # backward recomputes through the jnp formulation (identical math);
+    # standard fused-forward / recompute-backward pattern
+    q, k, v = res
+    _, vjp = jax.vjp(cc_attention_core_jnp, q, k, v)
+    return vjp(g)
+
+
+_cc_pallas_ad.defvjp(_cc_pallas_fwd, _cc_pallas_bwd)
+
+
 def cc_attention_core(q, k, v, use_pallas: Optional[bool] = None):
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",) and pltpu is not None
     if use_pallas:
-        return cc_attention_core_pallas(q, k, v)
+        return _cc_pallas_ad(q, k, v)
     return cc_attention_core_jnp(q, k, v)
