@@ -82,22 +82,30 @@ class DatasetCatalog:
         raise RuntimeError(f"Dataset not available: {name}")
 
 
+def _apply_pipe_options(cfg, dataset):
+    if cfg.DATA_PIPE.NATIVE_DECODE:
+        dataset.use_native_decode = True
+    return dataset
+
+
 def build_dataset(cfg, mode: str = "train", is_source: bool = True):
     assert mode in ("train", "val", "test")
     transform = Augmenter(cfg, mode, is_source).build_transform()
     if mode == "train":
         name = cfg.DATASETS.SOURCE_TRAIN if is_source else cfg.DATASETS.TARGET_TRAIN
-        return DatasetCatalog.get(cfg, name, mode,
-                                  num_classes=cfg.MODEL.NUM_CLASSES,
-                                  transform=transform,
-                                  cross_val=cfg.DATASETS.CROSS_VAL)
-    if mode == "val":
-        return DatasetCatalog.get(cfg, cfg.DATASETS.TEST, "val",
-                                  num_classes=cfg.MODEL.NUM_CLASSES,
-                                  transform=transform,
-                                  cross_val=cfg.DATASETS.CROSS_VAL)
-    return DatasetCatalog.get(cfg, cfg.DATASETS.TEST,
-                              cfg.DATASETS.TEST.split("_")[-1],
-                              num_classes=cfg.MODEL.NUM_CLASSES,
-                              transform=transform,
-                              cross_val=cfg.DATASETS.CROSS_VAL)
+        ds = DatasetCatalog.get(cfg, name, mode,
+                                num_classes=cfg.MODEL.NUM_CLASSES,
+                                transform=transform,
+                                cross_val=cfg.DATASETS.CROSS_VAL)
+    elif mode == "val":
+        ds = DatasetCatalog.get(cfg, cfg.DATASETS.TEST, "val",
+                                num_classes=cfg.MODEL.NUM_CLASSES,
+                                transform=transform,
+                                cross_val=cfg.DATASETS.CROSS_VAL)
+    else:
+        ds = DatasetCatalog.get(cfg, cfg.DATASETS.TEST,
+                                cfg.DATASETS.TEST.split("_")[-1],
+                                num_classes=cfg.MODEL.NUM_CLASSES,
+                                transform=transform,
+                                cross_val=cfg.DATASETS.CROSS_VAL)
+    return _apply_pipe_options(cfg, ds)

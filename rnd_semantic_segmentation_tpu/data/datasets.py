@@ -74,9 +74,36 @@ class _Base:
     image_paths: list
     debug: bool = False
     transform: Optional[Callable] = None
+    use_native_decode: bool = False   # set by build_dataset from DATA_PIPE
 
     def __len__(self):
         return len(self.image_paths)
+
+    def _open_rgb(self, path: str):
+        """Image decode: native C++ (libjpeg/libpng) fast path when enabled,
+        PIL otherwise.  Returns a PIL RGB image either way so downstream
+        transforms are unchanged."""
+        if self.use_native_decode:
+            from .native_loader import get_lib
+            import ctypes
+
+            lib = get_lib()
+            if lib is not None:
+                buf = np.empty(64 * 1024 * 1024, np.uint8)
+                h = ctypes.c_int()
+                w = ctypes.c_int()
+                c = ctypes.c_int()
+                ok = lib.segdata_decode(
+                    path.encode(),
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                    buf.nbytes, ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
+                if ok:
+                    arr = buf[: h.value * w.value * c.value].reshape(
+                        h.value, w.value, c.value)
+                    if c.value == 1:
+                        arr = np.repeat(arr, 3, axis=-1)
+                    return Image.fromarray(arr.copy(), "RGB")
+        return Image.open(path).convert("RGB")
 
 
 class KvasirDataSet(_Base):
@@ -94,7 +121,7 @@ class KvasirDataSet(_Base):
         path = self.image_paths[index]
         img_name = os.path.basename(path)
         img_dir = os.path.dirname(os.path.dirname(path))
-        image = Image.open(path).convert("RGB")
+        image = self._open_rgb(path)
         label = np.array(Image.open(os.path.join(img_dir, "masks", img_name)),
                          dtype=np.float32)
         label = Image.fromarray(remap_labels(label, self.id_to_trainid,
@@ -120,7 +147,7 @@ class KvasirFoldDataset(_Base):
         path = self.image_paths[index]
         img_name = os.path.basename(path)
         img_dir = os.path.dirname(os.path.dirname(path))
-        image = np.asarray(Image.open(path).convert("RGB"))
+        image = np.asarray(self._open_rgb(path))
         mask = np.asarray(Image.open(os.path.join(img_dir, "masks", img_name)))
         if mask.ndim == 3:
             mask = mask[..., 0]
@@ -161,7 +188,7 @@ class CityscapesDataSet(_Base):
         if self.debug:
             index = 0
         path = self.image_paths[index]
-        image = Image.open(path).convert("RGB")
+        image = self._open_rgb(path)
         label = np.array(Image.open(self._label_path(path)), dtype=np.float32)
         label = Image.fromarray(remap_labels(label, self.id_to_trainid,
                                              self.ignore_label))
@@ -184,7 +211,7 @@ class CityscapesSelfDistillDataSet(CityscapesDataSet):
             index = 0
         path = self.image_paths[index]
         img_name = os.path.basename(path)
-        image = Image.open(path).convert("RGB")
+        image = self._open_rgb(path)
         label = np.array(Image.open(os.path.join(self.label_dir, img_name)),
                          dtype=np.float32)
         # identity remap over train ids (cityscapes.py:175-177)
@@ -213,7 +240,7 @@ class GTA5FoldDataSet(_Base):
         path = self.image_paths[index]
         img_name = os.path.basename(path)
         img_dir = os.path.dirname(os.path.dirname(path))
-        image = Image.open(path).convert("RGB")
+        image = self._open_rgb(path)
         label = np.array(Image.open(os.path.join(img_dir, "labels", img_name)),
                          dtype=np.float32)
         label = Image.fromarray(remap_labels(label, self.id_to_trainid,
@@ -240,7 +267,7 @@ class BLIDataset(_Base):
         path = self.image_paths[index]
         img_name = os.path.basename(path)
         img_dir = os.path.dirname(os.path.dirname(path))
-        image = np.asarray(Image.open(path).convert("RGB"))
+        image = np.asarray(self._open_rgb(path))
         mask_path = os.path.join(img_dir, "masks", img_name[:-5] + ".png")
         mask = np.asarray(Image.open(mask_path))
         if mask.ndim == 3:
@@ -287,7 +314,7 @@ class SynthiaDataSet(_Base):
             index = 0
         path = self.image_paths[index]
         img_name = os.path.basename(path)
-        image = Image.open(path).convert("RGB")
+        image = self._open_rgb(path)
         label_arr = np.asarray(
             Image.open(os.path.join(self.data_root, "GT/LABELS", img_name)))
         if label_arr.ndim == 3:

@@ -55,3 +55,29 @@ def test_missing_file_flagged(tmp_path, image_files):
     batch, ok = load_batch(paths, (16, 16))
     assert ok[:3].all() and not ok[3]
     assert (batch[3] == 0).all() or np.isfinite(batch[3]).all()
+
+
+def test_native_decode_in_dataset(tmp_path, rng):
+    """KvasirDataSet with DATA_PIPE.NATIVE_DECODE: native decode == PIL."""
+    from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+    from rnd_semantic_segmentation_tpu.data import build_dataset
+
+    root = tmp_path / "kvasir"
+    for sub in ("images", "masks"):
+        (root / "fold_1" / sub).mkdir(parents=True)
+    arr = (rng.rand(24, 30, 3) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(root / "fold_1" / "images" / "a.png")
+    Image.fromarray((arr[..., 0] > 128).astype(np.uint8)).save(
+        root / "fold_1" / "masks" / "a.png")
+
+    cfg = get_default_cfg()
+    cfg.DATASETS.DATASET_DIR = str(tmp_path)
+    cfg.DATASETS.SOURCE_TRAIN = "kvasir_train"
+    cfg.AUG.NAME = "none"
+    cfg.DATA_PIPE.NATIVE_DECODE = True
+    ds = build_dataset(cfg, "train", True)
+    assert ds.use_native_decode
+    img_native, label, _ = ds[0]
+    ds.use_native_decode = False
+    img_pil, _, _ = ds[0]
+    np.testing.assert_array_equal(np.asarray(img_native), np.asarray(img_pil))
