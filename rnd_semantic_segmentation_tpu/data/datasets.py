@@ -60,6 +60,11 @@ def remap_labels(label: np.ndarray, id_to_trainid: Dict[int, int],
     return out
 
 
+import threading as _threading
+
+_decode_tls = _threading.local()  # per-thread native-decode scratch buffer
+
+
 def _kfold_image_paths(data_root: str, mode: str, cross_val: int) -> list:
     paths = []
     for kfold_path in glob(data_root + "/*/"):
@@ -86,10 +91,14 @@ class _Base:
         if self.use_native_decode:
             from .native_loader import get_lib
             import ctypes
+            import threading
 
             lib = get_lib()
             if lib is not None:
-                buf = np.empty(64 * 1024 * 1024, np.uint8)
+                tls = _decode_tls
+                buf = getattr(tls, "buf", None)
+                if buf is None:
+                    buf = tls.buf = np.empty(64 * 1024 * 1024, np.uint8)
                 h = ctypes.c_int()
                 w = ctypes.c_int()
                 c = ctypes.c_int()
