@@ -52,6 +52,65 @@ def bench(name, nc, size, batch, iters=8, warmup=2):
     return batch * iters / dt
 
 
+def bench_eval(name, nc, size, batch, iters=10, warmup=2):
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = name
+    cfg.MODEL.NUM_CLASSES = nc
+    cfg.MODEL.FREEZE_BN = True
+    spec = build_segmentor(cfg)
+    seg = Segmentor(spec, nc)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32)).astype(jnp.bfloat16)
+    variables = seg.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.bfloat16))
+    params = {n: dict(v)["params"] for n, v in variables.items()}
+    stats = {n: {k: c for k, c in dict(v).items() if k != "params"}
+             for n, v in variables.items()}
+
+    @jax.jit
+    def fwd(params, image):
+        outputs, _, _ = seg.forward(params, stats, image,
+                                    label_size=(size, size), train=False)
+        return jax.nn.softmax(outputs[0].astype(jnp.float32), axis=-1)
+
+    for _ in range(warmup):
+        out = fwd(params, x)
+    np.asarray(out[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, x)
+    np.asarray(out[0, 0, 0, 0])
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def bench_host_decode(n=64, size=(512, 512)):
+    """Native C++ batch decode vs PIL fallback (images/sec)."""
+    import tempfile
+    from PIL import Image
+
+    from rnd_semantic_segmentation_tpu.data.native_loader import (
+        _load_batch_pil, load_batch, native_available)
+
+    rng = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp()
+    paths = []
+    for i in range(n):
+        arr = (rng.rand(720, 1280, 3) * 255).astype(np.uint8)
+        p = f"{tmp}/img_{i}.jpg"
+        Image.fromarray(arr).save(p, quality=90)
+        paths.append(p)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+
+    t0 = time.perf_counter()
+    load_batch(paths, size, mean, std, num_threads=8)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _load_batch_pil(paths, size, mean, std, 1 / 255.0)
+    t_pil = time.perf_counter() - t0
+    return {"native_available": native_available(),
+            "native_images_per_sec": round(n / t_native, 1),
+            "pil_images_per_sec": round(n / t_pil, 1)}
+
+
 def main():
     for name, nc, size, batch in CASES:
         try:
@@ -61,6 +120,15 @@ def main():
         except Exception as e:  # keep going; per-family OOM etc.
             print(json.dumps({"model": name, "error": f"{type(e).__name__}: {e}"[:200]}),
                   flush=True)
+    try:
+        ips = bench_eval("deeplab_resnet101", 19, 512, 16)
+        print(json.dumps({"model": "deeplab_resnet101", "mode": "eval",
+                          "size": 512, "eval_images_per_sec": round(ips, 2)}),
+              flush=True)
+    except Exception as e:
+        print(json.dumps({"eval_error": str(e)[:200]}), flush=True)
+    print(json.dumps({"host_decode_1280x720_to_512": bench_host_decode()}),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -116,6 +116,11 @@ class Trainer:
         meters = MetricLogger(delimiter="  ")
         max_iter = cfg.SOLVER.EPOCHS * self.steps_per_epoch
         self.logger.info("#" * 20 + f" Start {self.spec.ckpt_prefix} Training " + "#" * 20)
+        if process_is_primary():
+            # reproducibility: snapshot the resolved config next to the run
+            os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+            with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as fh:
+                fh.write(cfg.dump())
         start = time.time()
         multiscale = (self.spec.family == "pranet")
         rates = (0.75, 1.0, 1.25) if multiscale else (1.0,)
