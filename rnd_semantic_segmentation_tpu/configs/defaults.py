@@ -91,6 +91,9 @@ _C.SOLVER.BATCH_SIZE = 8
 _C.SOLVER.BATCH_SIZE_VAL = 1
 _C.SOLVER.GRAD_CLIP = 0.0                 # per-element clamp, 0 disables
                                           # (reference core/utils/utils.py:6-16)
+# TPU-native: microbatch gradient accumulation inside the jitted step
+# (effective batch = BATCH_SIZE, HBM footprint = BATCH_SIZE/ACCUM_STEPS)
+_C.SOLVER.ACCUM_STEPS = 1
 
 # ---------------------------------------------------------------------------
 # Test

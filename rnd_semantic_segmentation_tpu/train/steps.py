@@ -121,22 +121,44 @@ def make_src_train_step(segmentor: Segmentor, cfg, steps_per_epoch: int,
         base_rng = jax.random.PRNGKey(cfg.SEED)
 
     compute_dtype = jnp.dtype(cfg.MODEL.DTYPE)
+    accum = max(int(cfg.SOLVER.ACCUM_STEPS), 1)
 
     def step_fn(state: TrainState, batch, epoch0):
         x = batch["image"].astype(compute_dtype)
         label = batch["label"]
-        stats = {n: m.stats for n, m in state.modules.items()}
         rngs = {"dropout": jax.random.fold_in(base_rng, state.step)}
-
-        def compute_loss(params):
-            outputs, new_stats, _ = segmentor.forward(
-                params, stats, x, label_size=label.shape[1:3],
-                train=True, rngs=rngs)
-            return loss_fn(outputs, label), new_stats
-
         params = {n: m.params for n, m in state.modules.items()}
-        (loss, new_stats), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(params)
+
+        def loss_on(params, stats, xs, ys):
+            def compute_loss(params):
+                outputs, new_stats, _ = segmentor.forward(
+                    params, stats, xs, label_size=ys.shape[1:3],
+                    train=True, rngs=rngs)
+                return loss_fn(outputs, ys), new_stats
+            return jax.value_and_grad(compute_loss, has_aux=True)(params)
+
+        if accum == 1:
+            stats = {n: m.stats for n, m in state.modules.items()}
+            (loss, new_stats), grads = loss_on(params, stats, x, label)
+        else:
+            # microbatch scan: grads averaged, BN stats chained (the reference
+            # semantics of a bigger batch, at 1/accum the activation memory)
+            b = x.shape[0] // accum
+            xs = x[: b * accum].reshape(accum, b, *x.shape[1:])
+            ys = label[: b * accum].reshape(accum, b, *label.shape[1:])
+
+            def body(carry, mb):
+                stats_c, grads_c, loss_c = carry
+                (l, new_stats), g = loss_on(params, stats_c, mb[0], mb[1])
+                grads_c = jax.tree.map(lambda a, bb: a + bb, grads_c, g)
+                return (new_stats, grads_c, loss_c + l), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, params)
+            stats0 = {n: m.stats for n, m in state.modules.items()}
+            (new_stats, grads, loss), _ = jax.lax.scan(
+                body, (stats0, zero_grads, jnp.float32(0)), (xs, ys))
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            loss = loss / accum
 
         lr = lr_sched(state.step.astype(jnp.float32), epoch0)
         new_modules = {}

@@ -50,3 +50,40 @@ def test_step_runs_and_learns(name, nc, size, lr):
     assert np.isfinite(losses).all()
     assert min(losses[1:]) < losses[0], losses
     assert int(state.step) == 10
+
+
+def test_grad_accumulation_matches_full_batch():
+    """ACCUM_STEPS=2 must match the full-batch step for mean-reduced CE
+    (FrozenBN backbone so stats don't diverge between the two paths)."""
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "deeplab_resnet18"
+    cfg.MODEL.DTYPE = "float32"
+    cfg.MODEL.NUM_CLASSES = 3
+    cfg.MODEL.FREEZE_BN = True
+    cfg.SOLVER.BASE_LR = 1e-3
+    cfg.SOLVER.EPOCHS = 1
+    spec = build_segmentor(cfg)
+    seg = Segmentor(spec, 3)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 3, size=(4, 32, 32)).astype(np.int32))
+    batch = {"image": x, "label": y}
+    variables = seg.init(jax.random.PRNGKey(0), x)
+    variables_snapshot = jax.device_get(variables)  # pre-donation copy
+    txs = make_optimizers(spec, cfg)
+
+    s_full = seg.make_states(variables, txs)
+    step_full = make_src_train_step(seg, cfg, 10)
+    s_full, m_full = step_full(s_full, dict(batch), jnp.float32(0))
+
+    cfg2 = cfg.clone()
+    cfg2.SOLVER.ACCUM_STEPS = 2
+    # fresh buffers: the first step donated s_full's (shared) arrays
+    s_acc = seg.make_states(variables_snapshot, txs)
+    step_acc = make_src_train_step(seg, cfg2, 10)
+    s_acc, m_acc = step_acc(s_acc, dict(batch), jnp.float32(0))
+
+    assert abs(float(m_full["loss"]) - float(m_acc["loss"])) < 1e-5
+    a = jax.tree.leaves(s_full.modules["classifier"].params)[0]
+    b = jax.tree.leaves(s_acc.modules["classifier"].params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
