@@ -62,6 +62,21 @@ def checkpoint_name(output_dir: str, prefix: str, epoch: int) -> str:
     return os.path.join(output_dir, f"{prefix}-{epoch}")
 
 
+def prune_checkpoints(output_dir: str, prefix: str, keep: int) -> None:
+    """Keep only the newest ``keep`` checkpoints of ``prefix`` (0 = keep all)."""
+    if keep <= 0 or not os.path.isdir(output_dir):
+        return
+    import shutil
+
+    found = []
+    for entry in os.listdir(output_dir):
+        m = re.fullmatch(rf"{re.escape(prefix)}-(\d+)", entry)
+        if m:
+            found.append((int(m.group(1)), entry))
+    for _, entry in sorted(found)[:-keep]:
+        shutil.rmtree(os.path.join(output_dir, entry), ignore_errors=True)
+
+
 def latest_checkpoint(output_dir: str, prefix: str) -> Optional[str]:
     if not os.path.isdir(output_dir):
         return None

@@ -85,6 +85,7 @@ _C.SOLVER.DECAY_RATE = 0.1
 _C.SOLVER.DECAY_EPOCH = 50
 _C.SOLVER.GAMMA = 0.1
 _C.SOLVER.CHECKPOINT_PERIOD = 5
+_C.SOLVER.KEEP_CHECKPOINTS = 0            # prune to last N (0 = keep all)
 # Global batch size; split across the data-parallel mesh axis
 # (reference core/configs/defaults.py:74-77 documents the same global semantics).
 _C.SOLVER.BATCH_SIZE = 8

@@ -163,6 +163,9 @@ class Trainer:
                 path = checkpoint_name(cfg.OUTPUT_DIR, self.spec.ckpt_prefix, epoch)
                 save_checkpoint(path, self.state, epoch)
                 self.logger.info(f"[Saving Snapshot:] {path}")
+                from ..ckpt.orbax_io import prune_checkpoints
+                prune_checkpoints(cfg.OUTPUT_DIR, self.spec.ckpt_prefix,
+                                  cfg.SOLVER.KEEP_CHECKPOINTS)
 
         total = time.time() - start
         self.logger.info(

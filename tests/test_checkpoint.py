@@ -67,3 +67,16 @@ def test_latest_checkpoint_discovery(tmp_path):
         save_checkpoint(checkpoint_name(str(tmp_path), "Aspp", ep), state, ep)
     assert latest_checkpoint(str(tmp_path), "Aspp").endswith("Aspp-5")
     assert latest_checkpoint(str(tmp_path), "Gald") is None
+
+
+def test_prune_checkpoints(tmp_path):
+    from rnd_semantic_segmentation_tpu.ckpt.orbax_io import prune_checkpoints
+    import os
+    for ep in (1, 2, 3, 4):
+        os.makedirs(tmp_path / f"Aspp-{ep}")
+    os.makedirs(tmp_path / "Gald-1")
+    prune_checkpoints(str(tmp_path), "Aspp", keep=2)
+    left = sorted(os.listdir(tmp_path))
+    assert left == ["Aspp-3", "Aspp-4", "Gald-1"]
+    prune_checkpoints(str(tmp_path), "Aspp", keep=0)  # no-op
+    assert sorted(os.listdir(tmp_path)) == ["Aspp-3", "Aspp-4", "Gald-1"]
