@@ -43,7 +43,11 @@ def cli():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    cols = 3 if gts else 2
+    # multi-checkpoint comparison: render config "weights" maps column name ->
+    # checkpoint path (reference demo.py config["weights"], :223-330); falls
+    # back to the single cfg.resume checkpoint
+    weights = render.get("weights") or {"prediction": cfg.resume}
+    cols = (2 if gts else 1) + len(weights)
     fig, axes = plt.subplots(len(images), cols, figsize=(4 * cols, 3 * len(images)))
     axes = np.atleast_2d(axes)
     palette = render.get("palette", [0, 0, 0, 255, 255, 255])
@@ -55,9 +59,15 @@ def cli():
             axes[r, c].imshow(Image.open(gts[r]))
             axes[r, c].set_title("ground truth")
             c += 1
-        pred = get_pred(cfg, img_path, logger)
-        axes[r, c].imshow(get_color_palette(pred, palette).convert("RGB"))
-        axes[r, c].set_title("prediction")
+        for key, ckpt in weights.items():
+            cfg_k = cfg.clone()
+            cfg_k.defrost()
+            cfg_k.resume = ckpt
+            cfg_k.freeze()
+            pred = get_pred(cfg_k, img_path, logger)
+            axes[r, c].imshow(get_color_palette(pred, palette).convert("RGB"))
+            axes[r, c].set_title(key)
+            c += 1
     for ax in axes.ravel():
         ax.axis("off")
     fig.tight_layout()
@@ -69,8 +79,12 @@ def cli():
         # torch.utils.tensorboard (demo.py:301-311)
         from ..utils.tb_writer import SummaryWriter
         writer = SummaryWriter(os.path.join(cfg.OUTPUT_DIR, "tb_demo"))
+        first_ckpt = next(iter(weights.values()))
+        cfg_tb = cfg.clone()
+        cfg_tb.resume = first_ckpt
+        cfg_tb.freeze()
         for r, img_path in enumerate(images):
-            pred = get_pred(cfg, img_path, logger)
+            pred = get_pred(cfg_tb, img_path, logger)
             colored = np.asarray(
                 get_color_palette(pred, palette).convert("RGB"))
             writer.add_image(os.path.basename(img_path), colored, step=r)

@@ -1,0 +1,53 @@
+"""demo.py CLI: grid render with multi-checkpoint columns on synthetic data."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "SEGTPU_FORCE_CPU": "1",
+       "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+       "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.3"}
+
+
+@pytest.mark.slow
+def test_demo_grid(tmp_path, rng):
+    out_dir = str(tmp_path)
+    # train a tiny checkpoint
+    r = subprocess.run(
+        [sys.executable, "train_src.py", "-cfg", "configs/synthetic_smoke.yaml",
+         "OUTPUT_DIR", out_dir],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # demo sample list
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    img_path = str(tmp_path / "demo_img.png")
+    Image.fromarray(img).save(img_path)
+    (tmp_path / "demo_image.txt").write_text(img_path + "\n")
+    render = {"name": "aspp_demo",
+              "palette": [0, 0, 0, 255, 255, 255, 128, 128, 128],
+              "demo_image_path": str(tmp_path / "demo_image.txt"),
+              "weights": {"epoch1": os.path.join(out_dir, "Aspp-1")},
+              "tensorboard": True}
+    render_path = str(tmp_path / "render.json")
+    json.dump(render, open(render_path, "w"))
+
+    out_png = str(tmp_path / "grid.png")
+    r = subprocess.run(
+        [sys.executable, "demo.py", "-cfg", "configs/synthetic_smoke.yaml",
+         "-c", render_path, "-o", out_png, "-n", "1",
+         "OUTPUT_DIR", out_dir,
+         "INPUT.INPUT_SIZE_TEST", "[64,64]"],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out_png)
+    # tensorboard events exported through the dependency-free writer
+    tb = [f for f in os.listdir(os.path.join(out_dir, "tb_demo"))
+          if f.startswith("events.out.tfevents")]
+    assert tb
