@@ -51,3 +51,38 @@ def test_demo_grid(tmp_path, rng):
     tb = [f for f in os.listdir(os.path.join(out_dir, "tb_demo"))
           if f.startswith("events.out.tfevents")]
     assert tb
+
+
+@pytest.mark.slow
+def test_inference_and_visualize_cli(tmp_path, rng):
+    out_dir = str(tmp_path)
+    r = subprocess.run(
+        [sys.executable, "train_src.py", "-cfg", "configs/synthetic_smoke.yaml",
+         "OUTPUT_DIR", out_dir],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    img_path = str(tmp_path / "one.png")
+    Image.fromarray(img).save(img_path)
+    render = {"palette": [0, 0, 0, 255, 255, 255, 128, 128, 128]}
+    render_path = str(tmp_path / "r.json")
+    json.dump(render, open(render_path, "w"))
+    out_png = str(tmp_path / "pred.png")
+    r = subprocess.run(
+        [sys.executable, "inference.py", "-cfg", "configs/synthetic_smoke.yaml",
+         "-i", img_path, "-o", out_png, "-c", render_path,
+         "OUTPUT_DIR", out_dir, "resume", os.path.join(out_dir, "Aspp-1"),
+         "INPUT.INPUT_SIZE_TEST", "[64,64]"],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out_png)
+
+    curves_png = str(tmp_path / "curves.png")
+    r = subprocess.run(
+        [sys.executable, "visualize.py",
+         "-j", os.path.join(out_dir, "deeplab_chart_params.json"),
+         "-o", curves_png, "-w", "4"],
+        cwd=REPO, env=ENV, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(curves_png)
