@@ -61,7 +61,9 @@ def _resize_batch_to(batch: Dict, size: int) -> Dict:
     label_f = batch["label"].astype(np.float32)[..., None]
     label = np.asarray(resize_bilinear(jnp.asarray(label_f), (size, size),
                                        align_corners=True))[..., 0]
-    return {"image": image, "label": label.astype(batch["label"].dtype),
+    # round rather than truncate: bilinear-resized binary masks keep their
+    # nearest class (the reference's F.upsample kept float gts)
+    return {"image": image, "label": np.rint(label).astype(batch["label"].dtype),
             "name": batch.get("name")}
 
 
