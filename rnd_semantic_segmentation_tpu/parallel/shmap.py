@@ -23,7 +23,11 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:
-    from jax import shard_map  # jax >= 0.9
+    from jax import shard_map as _new_shard_map  # jax >= 0.9 (check_vma kwarg)
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _new_shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=check_rep)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
