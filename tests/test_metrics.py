@@ -76,3 +76,22 @@ def test_plot_helpers(tmp_path, rng):
     lp.add_chart({"x": [0, 1], "y": [1.0, 0.5], "label": "loss"})
     lp.display()
     assert os.path.exists(tmp_path / "lc.png")
+
+
+def test_cal_params_flops():
+    """XLA cost-model FLOPs counter (the thop CalParams replacement)."""
+    import jax
+    import jax.numpy as jnp
+    from rnd_semantic_segmentation_tpu.utils.profiling import (
+        cal_params, clever_format, count_params)
+
+    def f(w, x):
+        return x @ w
+
+    w = jnp.zeros((64, 128), jnp.float32)
+    x = jnp.zeros((32, 64), jnp.float32)
+    stats = cal_params(f, w, x)
+    # 2*M*N*K = 2*32*128*64 = 524288 flops
+    assert abs(stats["flops"] - 524288) / 524288 < 0.5
+    assert count_params({"w": w}) == 64 * 128
+    assert clever_format(1_500_000) == "1.500M"
