@@ -45,9 +45,15 @@ def build_collate_fn(cfg):
 
 
 class DataLoader:
+    """``process_shard=True`` gives DistributedSampler semantics
+    (train_adv.py:22-27): every process sees a disjoint, epoch-shuffled
+    slice; the per-process batch_size should be global/process_count."""
+
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 4,
-                 collate_fn=None, seed: int = 0):
+                 collate_fn=None, seed: int = 0, process_shard: bool = False,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,15 +61,32 @@ class DataLoader:
         self.num_workers = max(num_workers, 1)
         self.collate_fn = collate_fn or default_collate
         self._rng = np.random.RandomState(seed)
+        self.process_shard = process_shard
+        if process_shard:
+            if process_index is None or process_count is None:
+                import jax
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+        self.process_index = process_index or 0
+        self.process_count = process_count or 1
+
+    def _local_len(self) -> int:
+        n = len(self.dataset)
+        if self.process_shard:
+            n = n // self.process_count  # even split, DistributedSampler-style
+        return n
 
     def __len__(self):
-        n = len(self.dataset)
+        n = self._local_len()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
+        if self.process_shard:
+            per = len(self.dataset) // self.process_count
+            order = order[self.process_index::self.process_count][:per]
         if self.drop_last:
             order = order[: len(self) * self.batch_size]
         batches = [order[i:i + self.batch_size]

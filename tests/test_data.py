@@ -97,3 +97,18 @@ def test_synthia_dataset(tmp_path):
     assert label.shape == (20, 24)
     assert label[0, 0] == 0 and label[0, 1] == 1  # 3->0, 4->1
     assert label[1, 0] == 255  # unmapped id 99 -> ignore
+
+
+def test_process_sharded_loader():
+    """DistributedSampler semantics: disjoint epoch-consistent shards."""
+    ds = SyntheticDataset(size=(8, 8), length=17)
+    loaders = [DataLoader(ds, batch_size=2, shuffle=True, seed=5,
+                          process_shard=True, process_index=i, process_count=2)
+               for i in range(2)]
+    names = [set(), set()]
+    for i, l in enumerate(loaders):
+        assert len(l) == 4  # 17 // 2 = 8 samples -> 4 batches
+        for batch in l:
+            names[i].update(batch["name"])
+    assert not (names[0] & names[1])          # disjoint
+    assert len(names[0]) == len(names[1]) == 8
