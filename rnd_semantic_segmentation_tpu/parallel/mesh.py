@@ -55,11 +55,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a batch onto the mesh's data axis.
+
+    Single-process: arrays are global and device_put shards them.
+    Multi-process (jax.distributed): each host passes its LOCAL shard (from a
+    ``process_shard=True`` DataLoader) and the global array is assembled via
+    ``make_array_from_process_local_data`` — the SPMD replacement for
+    DistributedSampler + DDP input pipelines.
+    """
     sh = batch_sharding(mesh)
+    multi = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if hasattr(v, "shape") and getattr(v, "ndim", 0) >= 1:
-            out[k] = jax.device_put(v, sh)
+            if multi:
+                out[k] = jax.make_array_from_process_local_data(sh, np.asarray(v))
+            else:
+                out[k] = jax.device_put(v, sh)
         else:
             out[k] = v
     return out
