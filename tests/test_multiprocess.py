@@ -70,3 +70,80 @@ def test_two_process_distributed(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{i}:\n{out[-3000:]}"
         assert f"proc{i} OK" in out
+
+
+_TRAIN_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    port, pid = sys.argv[1], int(sys.argv[2])
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+    from rnd_semantic_segmentation_tpu.data import DataLoader, SyntheticDataset
+    from rnd_semantic_segmentation_tpu.models import build_segmentor
+    from rnd_semantic_segmentation_tpu.parallel import make_mesh, shard_batch
+    from rnd_semantic_segmentation_tpu.train import (
+        Segmentor, make_optimizers, make_src_train_step)
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "deeplab_resnet18"
+    cfg.MODEL.DTYPE = "float32"
+    cfg.MODEL.NUM_CLASSES = 2
+    cfg.MODEL.FREEZE_BN = True
+    cfg.SOLVER.BASE_LR = 1e-4
+
+    mesh = make_mesh(cfg)  # 4 global devices
+    assert mesh.devices.size == 4
+
+    ds = SyntheticDataset(size=(32, 32), length=16, num_classes=2)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                        process_shard=True)  # local batch 4, global 8
+    spec = build_segmentor(cfg)
+    seg = Segmentor(spec, 2)
+    variables = seg.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    state = seg.make_states(variables, make_optimizers(spec, cfg))
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    step = make_src_train_step(seg, cfg, steps_per_epoch=4)
+
+    losses = []
+    for batch in loader:
+        global_batch = shard_batch(
+            {"image": batch["image"], "label": batch["label"]}, mesh)
+        state, m = step(state, global_batch, jnp.float32(0))
+        losses.append(float(m["loss"]))
+    assert len(losses) == 2 and all(np.isfinite(losses))
+    # parameter agreement across processes (replicated state)
+    leaf = np.asarray(jax.device_get(
+        jax.tree.leaves(state.modules["classifier"].params)[0]))
+    print(f"proc{pid} TRAIN OK loss={losses[-1]:.4f} psum={leaf.sum():.6f}",
+          flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_sharded_training(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = tmp_path / "train_worker.py"
+    worker.write_text(_TRAIN_WORKER)
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, str(worker), str(port), str(i)],
+                              cwd=REPO, env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    sums = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i}:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if "TRAIN OK" in l][0]
+        sums.append(line.split("psum=")[1])
+    assert sums[0] == sums[1], sums  # identical replicated params
