@@ -67,3 +67,18 @@ def test_fada_d_losses_reasonable():
     _, metrics = step(state, src, tgt, jnp.float32(0))
     assert 0.0 < float(metrics["loss_D_src"]) < 100.0
     assert 0.0 < float(metrics["loss_D_tgt"]) < 100.0
+
+
+@pytest.mark.parametrize("name,nc,size", [
+    ("gald_hardnet68", 4, 224),
+    ("attn_efficientnet-b0", 2, 64),
+])
+def test_fada_step_other_families(name, nc, size):
+    """Family-specific FADA wiring: gald taps hardnetout[3] and uses the
+    final decoder output for soft labels (gald_fada.py:110-119); attn taps
+    reduction_5 with multiscale seg loss (attn_fada.py:97-121)."""
+    state, step, src, tgt = _setup(name=name, nc=nc, size=size)
+    for _ in range(2):
+        state, metrics = step(state, src, tgt, jnp.float32(0))
+    for k in ("loss_seg", "loss_adv_tgt", "loss_D_src", "loss_D_tgt"):
+        assert np.isfinite(float(metrics[k])), k
