@@ -26,7 +26,8 @@ from .pranet import PraNet
 
 # feature dims fed to the FADA discriminator per backbone
 # (reference core/models/build.py:36-50)
-_DISC_FEATURES = {"resnet": 2048, "vgg": 1024, "efficientnet": 1408, "hardnet": 1024}
+_DISC_FEATURES = {"resnet": 2048, "vgg": 1024, "efficientnet": 1408,
+                  "hardnet": 1024, "res2net": 2048}
 
 
 def split_model_name(name: str) -> Tuple[str, str]:
@@ -110,7 +111,8 @@ def build_segmentor(cfg, bn_axis_name: Optional[str] = None) -> SegmentorSpec:
         bb = backbone or "res2net50"
         return SegmentorSpec(
             family=family, backbone=bb,
-            modules={"model": PraNet(backbone=bb, bn_axis_name=bn_axis_name)},
+            modules={"model": PraNet(backbone=bb, with_tap=True,
+                                     bn_axis_name=bn_axis_name)},
             lr_mults={"model": 0.125},  # Adam at BASE_LR/8 (pranet_trainer.py:20)
             optimizer="adam", ckpt_prefix="PraNet", disc_tap="layer4",
         )

@@ -125,6 +125,10 @@ class PraNet(nn.Module):
     channel: int = 32
     backbone: str = "res2net50"
     bn_axis_name: Optional[str] = None
+    # when True, also return the layer4 backbone features as a 5th element —
+    # the FADA discriminator tap (the reference's train_adv.py:52-53 dispatches
+    # to an undefined PraNetFada; here the pranet adversarial path works)
+    with_tap: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -183,4 +187,6 @@ class PraNet(nn.Module):
         h = ra2_feat + crop_2
         lateral_map_2 = scale(h, 8.0)
 
+        if self.with_tap:
+            return lateral_map_5, lateral_map_4, lateral_map_3, lateral_map_2, x4
         return lateral_map_5, lateral_map_4, lateral_map_3, lateral_map_2

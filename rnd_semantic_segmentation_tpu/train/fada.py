@@ -78,7 +78,15 @@ def make_fada_train_step(segmentor: Segmentor, disc_module, cfg,
         return poly_lr(cfg.SOLVER.BASE_LR_D, it, max_iter, cfg.SOLVER.LR_POWER)
 
     def _soft_label(final_output):
-        soft = jax.nn.softmax(final_output.astype(jnp.float32) / TEMPERATURE, axis=-1)
+        if final_output.shape[-1] == 1:
+            # 1-channel heads (pranet): sigmoid -> [1-p, p] class distribution
+            # (the reference's PraNetFada was never implemented,
+            # train_adv.py:52-53; this is the natural binary extension)
+            p = jax.nn.sigmoid(final_output.astype(jnp.float32) / TEMPERATURE)
+            soft = jnp.concatenate([1.0 - p, p], axis=-1)
+        else:
+            soft = jax.nn.softmax(final_output.astype(jnp.float32) / TEMPERATURE,
+                                  axis=-1)
         return jax.lax.stop_gradient(jnp.minimum(soft, SOFT_CLIP))
 
     def _final(outputs):
@@ -103,7 +111,9 @@ def make_fada_train_step(segmentor: Segmentor, disc_module, cfg,
         def gen_loss(params):
             src_outputs, stats1, src_tap = segmentor.forward(
                 params, stats, src_x, label_size=src_size, train=True, rngs=rngs)
-            if spec.family in ("attn", "attnwrap"):
+            if spec.family in ("attn", "attnwrap", "pranet"):
+                # multiscale/structure losses run on raw outputs; temperature
+                # only shapes the soft labels (attn_fada.py:97-104)
                 loss_seg = seg_loss_fn(src_outputs, src_label)
             else:
                 scaled = tuple(o / TEMPERATURE for o in src_outputs)

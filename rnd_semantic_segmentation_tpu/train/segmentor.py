@@ -105,6 +105,8 @@ class Segmentor:
             return outs, new_stats, taps[3]
         if fam == "pranet":
             outs = run("model", mods["model"], x)
+            if len(outs) == 5:  # with_tap registry build: layer4 disc tap
+                return tuple(outs[:4]), new_stats, outs[4]
             return outs, new_stats, None
         if fam == "attnwrap":
             outs = run("model", mods["model"], x,

@@ -72,6 +72,7 @@ def test_fada_d_losses_reasonable():
 @pytest.mark.parametrize("name,nc,size", [
     ("gald_hardnet68", 4, 224),
     ("attn_efficientnet-b0", 2, 64),
+    ("pranet_res2net50", 2, 64),
 ])
 def test_fada_step_other_families(name, nc, size):
     """Family-specific FADA wiring: gald taps hardnetout[3] and uses the
