@@ -215,9 +215,10 @@ CRANET_RULES = [
     (r"&", "/"),
 ]
 
-# efficientnet-pytorch
+# efficientnet-pytorch (block-inner attrs carry their own leading underscore:
+# `_blocks.0._depthwise_conv` -> `blocks_0/depthwise_conv`)
 EFFICIENTNET_RULES = [
-    (r"^_blocks\.(\d+)\.", r"blocks_\1/"),
+    (r"^_blocks\.(\d+)\._", r"blocks_\1/"),
     (r"^_", ""),
     (r"\._", "/"),
     (r"\.", "/"),
@@ -232,7 +233,7 @@ ASPP_CLASSIFIER_RULES = [
 # attn Encoder wraps efficientnet as `self.encoder` (eff.py:16)
 ATTN_ENCODER_RULES = [
     (r"^encoder\.", ""),
-    (r"^_blocks\.(\d+)\.", r"blocks_\1/"),
+    (r"^_blocks\.(\d+)\._", r"blocks_\1/"),
     (r"^_", ""),
     (r"\._", "/"),
     (r"\.", "/"),

@@ -1,11 +1,12 @@
-"""Attn-UNet decoder + AdditiveAttnGate parity vs the reference modules.
+"""Attn-UNet parity vs the reference modules.
 
-The reference encoder needs efficientnet-pytorch (not installed), but the
-Decoder and gates are self-contained — we stub the efficientnet import, feed
+The reference encoder needs efficientnet-pytorch (not installed): the Decoder
+and gates are self-contained, so we stub the efficientnet import, feed
 identical random endpoints to both decoders through the checkpoint importer,
-and compare all 5 scale outputs.  (Our EfficientNet encoder itself has no
-in-repo oracle; its construction follows the efficientnet-pytorch block
-recipe and is covered by shape tests.)
+and compare all 5 scale outputs.  The EfficientNet ENCODER is verified against
+an independent torch re-implementation of the published architecture
+(tests/torch_effnet.py) driven through the production EFFICIENTNET_RULES
+importer — the same path real pretrained weights would take.
 """
 
 import sys
@@ -96,3 +97,29 @@ def test_attn_decoder_parity(rng, ref_eff):
         rnp = r.numpy().transpose(0, 2, 3, 1)
         assert o.shape == rnp.shape
         np.testing.assert_allclose(np.asarray(o), rnp, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("name", ["efficientnet-b0", "efficientnet-b2"])
+def test_efficientnet_encoder_parity(rng, name):
+    """All 5 reduction_* endpoints match an independent torch EfficientNet
+    (eff.py:16-20 `EfficientNet.from_pretrained` + `extract_endpoints`)."""
+    from torch_effnet import TorchEfficientNet, randomize_
+    from rnd_semantic_segmentation_tpu.ckpt.torch_import import EFFICIENTNET_RULES
+    from rnd_semantic_segmentation_tpu.models.efficientnet import EfficientNetEncoder
+
+    tnet = randomize_(TorchEfficientNet(name), seed=3)
+    x = rng.rand(2, 64, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet.extract_endpoints(to_nchw(x))
+
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    variables = convert_state_dict(sd, EFFICIENTNET_RULES)
+    ours = EfficientNetEncoder(backbone_name=name).apply(
+        variables, jnp.asarray(x), train=False)
+
+    assert set(ours) == set(ref) == {f"reduction_{i}" for i in range(1, 6)}
+    for k in sorted(ref):
+        r = ref[k].numpy().transpose(0, 2, 3, 1)
+        o = np.asarray(ours[k])
+        assert o.shape == r.shape, (k, o.shape, r.shape)
+        np.testing.assert_allclose(o, r, rtol=1e-3, atol=1e-3, err_msg=k)
