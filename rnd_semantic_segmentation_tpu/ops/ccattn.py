@@ -14,6 +14,10 @@ cheap elementwise combine/normalize happens outside where XLA fuses it.
 ``cc_attention_core`` is the functional core used by
 models/gcpa.py:CrissCrossAttention; ``use_pallas=None`` auto-selects the
 kernel on TPU and the jnp path elsewhere.  The jnp path is the parity oracle.
+The backward is a second fused kernel (flash-attention style: recompute
+energies + joint softmax in VMEM, then 8 batched contractions emit per-branch
+dq/dk/dv numerators); interpret-mode CPU tests cover both kernels and the
+custom VJP (tests/test_ccattn_interpret.py).
 """
 
 from __future__ import annotations
@@ -117,29 +121,139 @@ def cc_attention_core_pallas(q, k, v, interpret: bool = False):
     return out.astype(v.dtype)
 
 
-@jax.custom_vjp
-def _cc_pallas_ad(q, k, v):
-    return cc_attention_core_pallas(q, k, v)
+def _cc_bwd_kernel(qh_ref, kh_ref, vh_ref, qw_ref, kw_ref, vw_ref,
+                   gh_ref, gw_ref,
+                   dqw_ref, dqh_ref, dkw_ref, dkh_ref, dvw_ref, dvh_ref):
+    """Fused VJP: recomputes energies + joint softmax (flash-attention style)
+    then emits per-branch grad numerators.  Layout convention as the forward:
+    *_w outputs H-major [H,W,*] (the W-branch contribution, already in natural
+    layout), *_h outputs W-major [W,H,*] (transposed outside by XLA).
+    """
+    f32 = jnp.float32
+    qh, kh, vh = qh_ref[...].astype(f32), kh_ref[...].astype(f32), vh_ref[...].astype(f32)
+    qw, kw, vw = qw_ref[...].astype(f32), kw_ref[...].astype(f32), vw_ref[...].astype(f32)
+    gh, gw = gh_ref[...].astype(f32), gw_ref[...].astype(f32)
+    h, w, _ = qh.shape
+
+    dims = (((2,), (2,)), ((0,), (0,)))
+    e_w = jax.lax.dot_general(qh, kh, dims, preferred_element_type=f32)  # [H,W,Wk]
+    e_h = jax.lax.dot_general(qw, kw, dims, preferred_element_type=f32)  # [W,H,Hk]
+    row = jax.lax.broadcasted_iota(jnp.int32, (w, h, h), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, h, h), 2)
+    e_h = jnp.where(row == col, jnp.float32(-1e30), e_h)
+
+    m = jnp.maximum(jnp.max(e_h, axis=-1).T, jnp.max(e_w, axis=-1))   # [H,W]
+    ph = jnp.exp(e_h - m.T[..., None])                                # [W,H,Hk]
+    pw = jnp.exp(e_w - m[..., None])                                  # [H,W,Wk]
+    den = jnp.sum(ph, axis=-1).T + jnp.sum(pw, axis=-1)               # [H,W]
+    ah = ph / den.T[..., None]
+    aw = pw / den[..., None]
+
+    # dL/da: contract the grad with v along channels (batch dim 0)
+    d_aw = jax.lax.dot_general(gh, vh, dims, preferred_element_type=f32)  # [H,W,Wk]
+    d_ah = jax.lax.dot_general(gw, vw, dims, preferred_element_type=f32)  # [W,H,Hk]
+
+    # joint-softmax VJP: s = sum_j a*da over BOTH branches
+    s = jnp.sum(ah * d_ah, axis=-1).T + jnp.sum(aw * d_aw, axis=-1)   # [H,W]
+    d_ew = aw * (d_aw - s[..., None])                                 # [H,W,Wk]
+    d_eh = ah * (d_ah - s.T[..., None])                               # [W,H,Hk]
+
+    contract_j = (((2,), (1,)), ((0,), (0,)))   # energies x (k|v) over key idx
+    contract_q = (((1,), (1,)), ((0,), (0,)))   # energies^T x (q|g) over query idx
+    dqw_ref[...] = jax.lax.dot_general(d_ew, kh, contract_j,
+                                       preferred_element_type=f32)    # [H,W,Cq]
+    dqh_ref[...] = jax.lax.dot_general(d_eh, kw, contract_j,
+                                       preferred_element_type=f32)    # [W,H,Cq]
+    dkw_ref[...] = jax.lax.dot_general(d_ew, qh, contract_q,
+                                       preferred_element_type=f32)    # [H,Wk,Cq]
+    dkh_ref[...] = jax.lax.dot_general(d_eh, qw, contract_q,
+                                       preferred_element_type=f32)    # [W,Hk,Cq]
+    dvw_ref[...] = jax.lax.dot_general(aw, gh, contract_q,
+                                       preferred_element_type=f32)    # [H,Wk,C]
+    dvh_ref[...] = jax.lax.dot_general(ah, gw, contract_q,
+                                       preferred_element_type=f32)    # [W,Hk,C]
 
 
-def _cc_pallas_fwd(q, k, v):
-    return cc_attention_core_pallas(q, k, v), (q, k, v)
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cc_attention_core_pallas_bwd(q, k, v, g, interpret: bool = False):
+    """dq,dk,dv for cc_attention_core via one fused Pallas pass per batch."""
+    b, h, w, cq = q.shape
+    c = v.shape[-1]
+    tr = lambda t: jnp.transpose(t, (0, 2, 1, 3))
+    qw, kw, vw, gw = tr(q), tr(k), tr(v), tr(g)
+
+    def spec(d0, d1, ch):
+        return pl.BlockSpec((1, d0, d1, ch), lambda i: (i, 0, 0, 0))
+
+    def kern(*refs):
+        _cc_bwd_kernel(*(r.at[0] for r in refs))
+
+    f32 = jnp.float32
+    dqw, dqh, dkw, dkh, dvw, dvh = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[spec(h, w, cq), spec(h, w, cq), spec(h, w, c),
+                  spec(w, h, cq), spec(w, h, cq), spec(w, h, c),
+                  spec(h, w, c), spec(w, h, c)],
+        out_specs=[spec(h, w, cq), spec(w, h, cq), spec(h, w, cq),
+                   spec(w, h, cq), spec(h, w, c), spec(w, h, c)],
+        out_shape=[jax.ShapeDtypeStruct((b, h, w, cq), f32),
+                   jax.ShapeDtypeStruct((b, w, h, cq), f32),
+                   jax.ShapeDtypeStruct((b, h, w, cq), f32),
+                   jax.ShapeDtypeStruct((b, w, h, cq), f32),
+                   jax.ShapeDtypeStruct((b, h, w, c), f32),
+                   jax.ShapeDtypeStruct((b, w, h, c), f32)],
+        interpret=interpret,
+    )(q, k, v, qw, kw, vw, g, gw)
+    dq = (dqw + tr(dqh)).astype(q.dtype)
+    dk = (dkw + tr(dkh)).astype(k.dtype)
+    dv = (dvw + tr(dvh)).astype(v.dtype)
+    return dq, dk, dv
 
 
-def _cc_pallas_bwd(res, g):
-    # backward recomputes through the jnp formulation (identical math);
-    # standard fused-forward / recompute-backward pattern
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _cc_pallas_ad(q, k, v, interpret=False):
+    return cc_attention_core_pallas(q, k, v, interpret=interpret)
+
+
+def _cc_pallas_fwd(q, k, v, interpret):
+    return cc_attention_core_pallas(q, k, v, interpret=interpret), (q, k, v)
+
+
+def _cc_pallas_bwd(interpret, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(cc_attention_core_jnp, q, k, v)
-    return vjp(g)
+    return cc_attention_core_pallas_bwd(q, k, v, g, interpret=interpret)
 
 
 _cc_pallas_ad.defvjp(_cc_pallas_fwd, _cc_pallas_bwd)
 
 
+def _kernel_vmem_bytes(b: int, h: int, w: int, c: int, cq: int) -> int:
+    """Conservative estimate of the kernels' peak VMEM pressure (f32).
+
+    Two contributions, both measured to matter on a v5e (16 MiB scoped vmem):
+    per-grid-step in-kernel live set (energy tensors + exp/grad copies
+    dominate), and the FULL f32 numerator outputs — XLA places pallas_call
+    results in vmem to fuse the outside normalize, so they scale with batch
+    (observed OOM: b16 h=w=64 c=64 -> 16.46M > 16M)."""
+    energies = 4 * h * w * (h + w) * 3
+    operands = 4 * h * w * (4 * c + 4 * cq)
+    outputs = 4 * b * h * w * (2 * c + 1)
+    return energies + operands + outputs
+
+
+# v5e scoped-vmem limit is 16 MiB; leave headroom for Mosaic's own scratch.
+_VMEM_BUDGET = 12 * 2 ** 20
+
+
 def cc_attention_core(q, k, v, use_pallas: Optional[bool] = None):
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",) and pltpu is not None
+        b, h, w, cq = q.shape
+        use_pallas = (
+            jax.default_backend() not in ("cpu",)
+            and pltpu is not None
+            and _kernel_vmem_bytes(b, h, w, v.shape[-1], cq) < _VMEM_BUDGET
+        )
     if use_pallas:
         return _cc_pallas_ad(q, k, v)
     return cc_attention_core_jnp(q, k, v)

@@ -68,8 +68,9 @@ def test_jnp_core_matches_reference_torch(rng):
 
 
 def test_pallas_custom_vjp_matches_jnp_grad(rng):
-    """GALD trains on TPU through the Pallas kernel: forward fused, backward
-    recomputed via jnp — gradients must match the pure-jnp path."""
+    """GALD trains on TPU through the Pallas kernels (fused forward AND
+    fused backward) — gradients must match the pure-jnp path.  Both kernels
+    run in interpret mode here via the custom VJP's static interpret arg."""
     from rnd_semantic_segmentation_tpu.ops import ccattn
 
     b, h, w, cq, c = 1, 6, 7, 8, 16
@@ -80,19 +81,11 @@ def test_pallas_custom_vjp_matches_jnp_grad(rng):
     def loss_jnp(q, k, v):
         return jnp.sum(ccattn.cc_attention_core_jnp(q, k, v) ** 2)
 
-    # interpret-mode pallas forward with the custom vjp
-    orig = ccattn.cc_attention_core_pallas
-    ccattn_pallas_interp = lambda q, k, v: orig(q, k, v, interpret=True)
-    try:
-        ccattn.cc_attention_core_pallas = ccattn_pallas_interp
+    def loss_pallas(q, k, v):
+        return jnp.sum(ccattn._cc_pallas_ad(q, k, v, True) ** 2)
 
-        def loss_pallas(q, k, v):
-            return jnp.sum(ccattn._cc_pallas_ad(q, k, v) ** 2)
-
-        g_ref = jax.grad(loss_jnp, argnums=(0, 1, 2))(q, k, v)
-        g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
-    finally:
-        ccattn.cc_attention_core_pallas = orig
+    g_ref = jax.grad(loss_jnp, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
