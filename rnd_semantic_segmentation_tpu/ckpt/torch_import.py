@@ -258,6 +258,33 @@ DISCRIMINATOR_RULES = [
     (r"\.", "/"),
 ]
 
+def nl_hub_rules(n_blocks_layer3: int, non_local: bool) -> List[Tuple[str, str]]:
+    """Classification hubs (nonlocal.py:251-295, cgnonlocal.py:390-505).
+
+    Both insert their context block before the LAST residual unit of layer3,
+    shifting that unit's Sequential index by one; our scopes name the context
+    block ``layer3_nl`` and keep residual units densely numbered.
+    """
+    rules: List[Tuple[str, str]] = []
+    if non_local:
+        i = n_blocks_layer3 - 1
+        rules += [
+            (rf"^layer3\.{i}\.W_z\.0$", "layer3_nl/W_z_conv"),
+            (rf"^layer3\.{i}\.W_z\.1$", "layer3_nl/W_z_bn"),
+            (rf"^layer3\.{i}\.", "layer3_nl/"),
+            (rf"^layer3\.{n_blocks_layer3}\.", f"layer3_{i}/"),
+        ]
+    rules += [
+        (r"layer(\d+)\.(\d+)\.", r"layer\1_\2/"),
+        (r"shortcut\.0$", "downsample_conv"),
+        (r"shortcut\.1$", "downsample_bn"),
+        (r"downsample\.0$", "downsample_conv"),
+        (r"downsample\.1$", "downsample_bn"),
+        (r"\.", "/"),
+    ]
+    return rules
+
+
 # VGG16 FCN feature extractor: torchvision 'features.<i>' conv indices ->
 # sequential conv0..12 + fc6/fc7 (feature_extractor.py keeps indices
 # 0..22,24..29 then appends fc6/fc7)

@@ -38,13 +38,25 @@ from .encoders_zoo import B2VGG, B2ResNet, DeepLabV3ASPP, RepVGG, repvgg_reparam
 from .fam_variants import FAMAG, FAMPra, FAMSCWS, FAMAGv3
 from .gcpa import GCPACCNet
 from .grl import gradient_reverse
-from .nets_zoo import BiSeNetV1, CENet, DACBlock, SPPBlock, UNet
+from .cls_hubs import CGNLResNet, NLResNet
+from .nets_zoo import (
+    BiSeNetV1,
+    CENet,
+    CENetOCT,
+    DACBlock,
+    DACBlockInception,
+    DACBlockInceptionBlocks,
+    DACBlockNoAtrous,
+    SPPBlock,
+    UNet,
+)
 from .resnet3d import ResNet3D
 from .seg_nets import (
     CCNetSegModel,
     DilatedSegBackbone,
     DualSegNet,
     GALDNetFull,
+    PSPHead,
     PSPNetFull,
 )
 from .zoo import (

@@ -85,6 +85,60 @@ class DACBlock(nn.Module):
         return x + d1 + d2 + d3 + d4
 
 
+class DACBlockNoAtrous(nn.Module):
+    """DAC cascade with plain 3x3 convs (cenet.py:42-63); dilate1/2/3 are
+    DISTINCT convs but conv1x1 is shared across branches like the reference."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        c = x.shape[-1]
+        dilate1 = Conv2d(c, 3, padding=1, name="dilate1")
+        dilate2 = Conv2d(c, 3, padding=1, name="dilate2")
+        dilate3 = Conv2d(c, 3, padding=1, name="dilate3")
+        conv1x1 = Conv2d(c, 1, name="conv1x1")
+        d1 = relu(dilate1(x))
+        d2 = relu(conv1x1(dilate2(x)))
+        d3 = relu(conv1x1(dilate2(dilate1(x))))
+        d4 = relu(conv1x1(dilate3(dilate2(dilate1(x)))))
+        return x + d1 + d2 + d3 + d4
+
+
+class DACBlockInception(nn.Module):
+    """Inception-style DAC (cenet.py:66-88): shared 1x1 + 3x3 convs, concat
+    fused by a 2c->c 1x1, one residual tap."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        c = x.shape[-1]
+        dilate1 = Conv2d(c, 1, name="dilate1")
+        dilate3 = Conv2d(c, 3, padding=1, name="dilate3")
+        conv1x1 = Conv2d(c, 1, name="conv1x1")
+        d1 = relu(dilate1(x))
+        d2 = relu(dilate3(dilate1(x)))
+        dc = relu(conv1x1(jnp.concatenate([d1, d2], axis=-1)))
+        return x + relu(dilate1(dc))
+
+
+class DACBlockInceptionBlocks(nn.Module):
+    """Parallel 1x1/3x3/5x5/maxpool inception branches, summed — note: NO
+    residual ``x`` term, matching cenet.py:91-112."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        c = x.shape[-1]
+        conv1x1 = Conv2d(c, 1, name="conv1x1")
+        conv3x3 = Conv2d(c, 3, padding=1, name="conv3x3")
+        conv5x5 = Conv2d(c, 5, padding=2, name="conv5x5")
+        d1 = relu(conv1x1(x))
+        d2 = relu(conv3x3(conv1x1(x)))
+        d3 = relu(conv5x5(conv1x1(x)))
+        d4 = max_pool(x, 3, 1, padding=1)
+        return d1 + d2 + d3 + d4
+
+
 class SPPBlock(nn.Module):
     """Multi-kernel pooled 1-channel maps concatenated onto x (cenet.py:140-161);
     one SHARED 1x1 conv across all four pool branches."""
@@ -119,10 +173,29 @@ class _CEDecoderBlock(nn.Module):
         return x
 
 
+_DAC_BLOCKS = {
+    "atrous": DACBlock,
+    "no_atrous": DACBlockNoAtrous,
+    "inception": DACBlockInception,
+    "inception_blocks": DACBlockInceptionBlocks,
+}
+
+
 class CENet(nn.Module):
-    """CE-Net on a ResNet34 encoder (cenet.py:195-252)."""
+    """CE-Net on a ResNet34 encoder (cenet.py:195-252) and its research
+    variants:
+
+      * defaults                      -> CE_Net_ (DAC + SPP, sigmoid)
+      * dac="no_atrous",  use_spp=False -> CE_Net_backbone_DAC_without_atrous
+      * dac="inception",  use_spp=False -> CE_Net_backbone_DAC_with_inception
+      * dac="inception_blocks", use_spp=False -> CE_Net_backbone_inception_blocks
+      * apply_sigmoid=False (12 classes) -> CE_Net_OCT (cenet.py:428-484)
+    """
 
     num_classes: int = 1
+    dac: str = "atrous"
+    use_spp: bool = True
+    apply_sigmoid: bool = True
     bn_axis_name: Optional[str] = None
 
     @nn.compact
@@ -133,8 +206,9 @@ class CENet(nn.Module):
                       name="resnet")(x, train)
         e1, e2, e3, e4 = (taps["layer1"], taps["layer2"],
                           taps["layer3"], taps["layer4"])
-        e4 = DACBlock(name="dblock")(e4, train)
-        e4 = SPPBlock(name="spp")(e4, train)  # 512 + 4 = 516 channels
+        e4 = _DAC_BLOCKS[self.dac](name="dblock")(e4, train)
+        if self.use_spp:
+            e4 = SPPBlock(name="spp")(e4, train)  # 512 + 4 = 516 channels
 
         d4 = _CEDecoderBlock(256, ax, name="decoder4")(e4, train) + e3
         d3 = _CEDecoderBlock(128, ax, name="decoder3")(d4, train) + e2
@@ -145,7 +219,13 @@ class CENet(nn.Module):
         out = relu(out)
         out = relu(Conv2d(32, 3, padding=1, name="finalconv2")(out))
         out = Conv2d(self.num_classes, 3, padding=1, name="finalconv3")(out)
-        return nn.sigmoid(out)
+        return nn.sigmoid(out) if self.apply_sigmoid else out
+
+
+def CENetOCT(num_classes: int = 12, bn_axis_name: Optional[str] = None, **kw):
+    """CE_Net_OCT (cenet.py:428-484): base CE-Net center, raw logits out."""
+    return CENet(num_classes=num_classes, dac="atrous", use_spp=True,
+                 apply_sigmoid=False, bn_axis_name=bn_axis_name, **kw)
 
 
 # ------------------------------------------------------------- BiSeNet V1 ----

@@ -60,6 +60,7 @@ class DilatedSegBackbone(nn.Module):
     """Deep-stem OS8 ResNet; returns (layer3, layer4) taps."""
 
     layers: Tuple[int, int, int, int] = (3, 4, 23, 3)
+    layer4_grids: Tuple[int, ...] = (1, 2, 4)
     bn_axis_name: Optional[str] = None
 
     @nn.compact
@@ -78,7 +79,7 @@ class DilatedSegBackbone(nn.Module):
             ("layer1", 64, self.layers[0], 1, 1, None),
             ("layer2", 128, self.layers[1], 2, 1, None),
             ("layer3", 256, self.layers[2], 1, 2, None),
-            ("layer4", 512, self.layers[3], 1, 4, (1, 2, 4)),
+            ("layer4", 512, self.layers[3], 1, 4, self.layer4_grids),
         )
         for name, planes, blocks, stride, dilation, grids in plan:
             for b in range(blocks):
@@ -150,6 +151,24 @@ class PSPNetFull(nn.Module):
         out = PSPModule(512, bn_axis_name=self.bn_axis_name, name="head")(l4, train)
         out = Conv2d(self.num_classes, 1, name="cls")(out)
         return out, dsn
+
+
+class PSPHead(nn.Module):
+    """ICNet's encoder head (PSPNet.py:231-316): the same deep-stem dilated
+    backbone but with layer4 multi_grid (1,1,1), topped by PSPModule(->512).
+    Returns the 512-ch OS8 feature map (ICNet consumes features, not logits).
+    """
+
+    layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        _, l4 = DilatedSegBackbone(self.layers, layer4_grids=(1, 1, 1),
+                                   bn_axis_name=self.bn_axis_name,
+                                   name="backbone")(x, train)
+        return PSPModule(512, bn_axis_name=self.bn_axis_name,
+                         name="head")(l4, train)
 
 
 class DualSegNet(nn.Module):

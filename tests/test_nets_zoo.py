@@ -50,3 +50,32 @@ def test_bisenet_v1(rng):
     assert out.shape == (1, 64, 64, 5)
     assert out16.shape == (1, 64, 64, 5)
     assert out32.shape == (1, 64, 64, 5)
+
+
+@pytest.mark.parametrize("dac", ["no_atrous", "inception", "inception_blocks"])
+def test_cenet_backbone_variants(rng, dac):
+    """CE_Net_backbone_* research variants (cenet.py:254-425): alternate DAC
+    center, NO SPP (decoder4 sees 512 channels), sigmoid output."""
+    from rnd_semantic_segmentation_tpu.models import CENet
+
+    m = CENet(num_classes=1, dac=dac, use_spp=False)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 64, 64, 1)
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and (o >= 0).all() and (o <= 1).all()
+
+
+def test_cenet_oct(rng):
+    """CE_Net_OCT (cenet.py:428-484): DAC+SPP center, 12-class raw logits."""
+    from rnd_semantic_segmentation_tpu.models import CENetOCT
+
+    m = CENetOCT()
+    x = jnp.asarray(rng.rand(1, 224, 224, 3).astype(np.float32))  # SPP k6 pool
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 224, 224, 12)
+    o = np.asarray(out)
+    assert np.isfinite(o).all()
+    assert (o < 0).any()  # raw logits, not sigmoid probabilities

@@ -33,3 +33,16 @@ def test_seg_nets_dual_outputs(cls, rng):
     assert out.shape == (1, 12, 12, 7)
     assert dsn.shape == (1, 12, 12, 7)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_psphead_icnet(rng):
+    """PSPHead (PSPNet.py:231-316): OS8 features with layer4 multi_grid
+    (1,1,1), PSP-pooled to 512 channels — ICNet consumes features."""
+    from rnd_semantic_segmentation_tpu.models.seg_nets import PSPHead
+
+    m = PSPHead(layers=SMALL)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 8, 8, 512)
+    assert np.isfinite(np.asarray(out)).all()
