@@ -15,9 +15,10 @@ import numpy as np
 from PIL import Image
 
 from ..eval.palette import get_color_palette
+from ..eval.pr_curves import dump_pr_curves
 from ..utils import load_json, load_text, setup_logger
 from .common import load_cfg
-from .inference import get_pred
+from .inference import build_predictor
 
 
 def cli():
@@ -51,42 +52,67 @@ def cli():
     fig, axes = plt.subplots(len(images), cols, figsize=(4 * cols, 3 * len(images)))
     axes = np.atleast_2d(axes)
     palette = render.get("palette", [0, 0, 0, 255, 255, 255])
+
+    # ONE model build + checkpoint load per column (not per image per column)
+    predictors = {}
+    for key, ckpt in weights.items():
+        cfg_k = cfg.clone()
+        cfg_k.defrost()
+        cfg_k.resume = ckpt
+        cfg_k.freeze()
+        predictors[key] = build_predictor(cfg_k, logger)
+
+    # per-checkpoint accumulated pixel probabilities + labels for the PR
+    # curves (reference demo.py:80-88,320-325 big_pred/big_label)
+    big_preds = {key: [] for key in weights}
+    big_labels = []
+    preds_cache = {}
     for r, img_path in enumerate(images):
         axes[r, 0].imshow(Image.open(img_path))
         axes[r, 0].set_title(os.path.basename(img_path))
         c = 1
         if gts:
-            axes[r, c].imshow(Image.open(gts[r]))
+            gt_img = Image.open(gts[r])
+            axes[r, c].imshow(gt_img)
             axes[r, c].set_title("ground truth")
             c += 1
-        for key, ckpt in weights.items():
-            cfg_k = cfg.clone()
-            cfg_k.defrost()
-            cfg_k.resume = ckpt
-            cfg_k.freeze()
-            pred = get_pred(cfg_k, img_path, logger)
+        for key in weights:
+            pred, probs = predictors[key](img_path, return_probs=True)
+            preds_cache[(key, r)] = pred
             axes[r, c].imshow(get_color_palette(pred, palette).convert("RGB"))
             axes[r, c].set_title(key)
             c += 1
+            if gts:
+                big_preds[key].append(probs.reshape(-1, probs.shape[-1]))
+        if gts:
+            gt = np.asarray(gt_img.resize(pred.shape[::-1], Image.NEAREST))
+            big_labels.append(gt.reshape(-1))
     for ax in axes.ravel():
         ax.axis("off")
     fig.tight_layout()
     fig.savefig(args.output, dpi=100)
     logger.info(f"saved {args.output}")
 
+    if gts:
+        # per-class PR curves per checkpoint (reference dump_pr_curve)
+        label = np.concatenate(big_labels)
+        id2name = render.get("trainid2name", {})
+        for key in weights:
+            out_dir = os.path.join(cfg.OUTPUT_DIR, "pr_curves", key)
+            dump_pr_curves(np.concatenate(big_preds[key]), label,
+                           id2name, out_dir)
+            logger.info(f"PR curves for '{key}' in {out_dir}")
+
     if render.get("tensorboard"):
         # dependency-free event writer (utils/tb_writer.py) replaces
         # torch.utils.tensorboard (demo.py:301-311)
         from ..utils.tb_writer import SummaryWriter
         writer = SummaryWriter(os.path.join(cfg.OUTPUT_DIR, "tb_demo"))
-        first_ckpt = next(iter(weights.values()))
-        cfg_tb = cfg.clone()
-        cfg_tb.resume = first_ckpt
-        cfg_tb.freeze()
+        first_key = next(iter(weights))
         for r, img_path in enumerate(images):
-            pred = get_pred(cfg_tb, img_path, logger)
             colored = np.asarray(
-                get_color_palette(pred, palette).convert("RGB"))
+                get_color_palette(preds_cache[(first_key, r)],
+                                  palette).convert("RGB"))
             writer.add_image(os.path.basename(img_path), colored, step=r)
         writer.close()
         logger.info(f"tensorboard events in {cfg.OUTPUT_DIR}/tb_demo")

@@ -97,6 +97,14 @@ class Tester:
     # -- checkpoint ----------------------------------------------------------
     def _load_checkpoint(self):
         path = self.cfg.resume
+        if path == "latest":
+            # same recovery semantics as the Trainer (resume-from-latest)
+            from ..ckpt.orbax_io import latest_checkpoint
+            path = latest_checkpoint(self.cfg.OUTPUT_DIR, self.spec.ckpt_prefix)
+            if not path:
+                raise FileNotFoundError(
+                    f"resume=latest: no {self.spec.ckpt_prefix}-* checkpoint "
+                    f"in {self.cfg.OUTPUT_DIR}")
         self.logger.info(f"Loading checkpoint from {path}")
         if path.endswith(".pth"):
             self.variables = self._load_torch_checkpoint(path)
@@ -185,4 +193,12 @@ class Tester:
                                f"{self.spec.family}_confusion_matrix.json"),
                   {"cmt": cmt.tolist(),
                    "classes": list(self.trainid2name.values())})
+        # heatmap PNG next to the JSON (reference utility.py:361-384 path)
+        from ..utils.plots import plot_confusion_matrix
+        classes = (list(self.trainid2name.values())
+                   or [str(i) for i in range(nc)])
+        plot_confusion_matrix(
+            cmt, classes,
+            out_path=os.path.join(cfg.OUTPUT_DIR,
+                                  f"{self.spec.family}_confusion_matrix.png"))
         return summary

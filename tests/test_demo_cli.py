@@ -25,14 +25,20 @@ def test_demo_grid(tmp_path, rng):
         cwd=REPO, env=ENV, capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
 
-    # demo sample list
+    # demo sample list (+ ground truth so PR curves get dumped)
     img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
     img_path = str(tmp_path / "demo_img.png")
     Image.fromarray(img).save(img_path)
     (tmp_path / "demo_image.txt").write_text(img_path + "\n")
+    gt = rng.randint(0, 3, size=(64, 64)).astype(np.uint8)
+    gt_path = str(tmp_path / "demo_gt.png")
+    Image.fromarray(gt).save(gt_path)
+    (tmp_path / "demo_gt.txt").write_text(gt_path + "\n")
     render = {"name": "aspp_demo",
               "palette": [0, 0, 0, 255, 255, 255, 128, 128, 128],
               "demo_image_path": str(tmp_path / "demo_image.txt"),
+              "demo_groundtruth_path": str(tmp_path / "demo_gt.txt"),
+              "trainid2name": {"0": "bg", "1": "blob", "2": "ring"},
               "weights": {"epoch1": os.path.join(out_dir, "Aspp-1")},
               "tensorboard": True}
     render_path = str(tmp_path / "render.json")
@@ -51,6 +57,12 @@ def test_demo_grid(tmp_path, rng):
     tb = [f for f in os.listdir(os.path.join(out_dir, "tb_demo"))
           if f.startswith("events.out.tfevents")]
     assert tb
+    # per-class PR curves dumped per checkpoint (reference demo.py:80-88)
+    pr_dir = os.path.join(out_dir, "pr_curves", "epoch1")
+    assert os.path.exists(os.path.join(pr_dir, "pr_curves.json"))
+    assert os.path.exists(os.path.join(pr_dir, "pr_curves.png"))
+    curves = json.load(open(os.path.join(pr_dir, "pr_curves.json")))
+    assert set(curves) == {"bg", "blob", "ring"}
 
 
 @pytest.mark.slow
