@@ -12,4 +12,5 @@ from .steps import (
     make_lr_schedule,
     make_optimizers,
     make_src_train_step,
+    wrap_step_checkify,
 )

@@ -174,3 +174,20 @@ def make_src_train_step(segmentor: Segmentor, cfg, steps_per_epoch: int,
     if jit:
         return jax.jit(step_fn, donate_argnums=0)
     return step_fn
+
+
+def wrap_step_checkify(step_fn: Callable) -> Callable:
+    """DEBUG.CHECKIFY sanitizer (SURVEY §5; reference train_distill.py:63
+    ``set_detect_anomaly``): functionalize float checks (NaN/Inf/div-by-zero)
+    over the whole compiled step and raise host-side with the offending op's
+    source location.  Debug mode — adds checks to every float op."""
+    from jax.experimental import checkify
+
+    checked = checkify.checkify(step_fn, errors=checkify.float_checks)
+
+    def step(*args, **kwargs):
+        err, out = checked(*args, **kwargs)
+        err.throw()
+        return out
+
+    return step

@@ -39,7 +39,7 @@ from ..parallel.mesh import batch_sharding, make_mesh, process_is_primary, repli
 from ..utils import MetricLogger, dump_json, setup_logger
 from .fada import FadaState, init_disc_state, make_fada_train_step
 from .segmentor import Segmentor
-from .steps import make_optimizers, make_src_train_step
+from .steps import make_optimizers, make_src_train_step, wrap_step_checkify
 
 
 def _peak_memory_mb() -> float:
@@ -107,6 +107,8 @@ class Trainer:
         self.step_fn = make_src_train_step(
             self.segmentor, cfg, self.steps_per_epoch,
             base_rng=jax.random.PRNGKey(cfg.SEED + 1))
+        if cfg.DEBUG.CHECKIFY:
+            self.step_fn = wrap_step_checkify(self.step_fn)
         self.batch_sharding = batch_sharding(self.mesh)
         self.device_aug = None
         if cfg.DATA_PIPE.DEVICE_AUG:
@@ -234,6 +236,8 @@ class FadaTrainer:
         self.step_fn = make_fada_train_step(
             self.segmentor, self.disc, cfg, self.steps_per_epoch,
             base_rng=jax.random.PRNGKey(cfg.SEED + 3))
+        if cfg.DEBUG.CHECKIFY:
+            self.step_fn = wrap_step_checkify(self.step_fn)
         self.batch_sharding = batch_sharding(self.mesh)
 
     def train(self):
