@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Host data-pipeline benchmark (VERDICT r1 weak #6 / next #8).
+
+Measures decode->resize->normalize throughput of the native C++ loader
+(native/segdata.cpp) vs the PIL fallback at the two serving geometries
+(512x512 training crops, 1024x2048 Cityscapes eval), across thread counts,
+and puts the numbers next to the device step times they must outrun.
+
+Writes BENCH_HOST.json at the repo root and prints one JSON line per row.
+
+Note on this harness host: it exposes a SINGLE CPU core (nproc=1), so
+multi-thread rows measure queueing overhead, not scaling — the work-queue
+design (segdata.cpp segdata_load_batch: atomic fetch_add over a shared index)
+scales with cores by construction.  The decisive number is images/sec at
+nthreads=1 vs the device img/s it must feed.
+
+Reference counterpart: torch DataLoader worker processes
+(/root/reference/train_src.py:16-25).
+"""
+
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def make_corpus(n, w, h, fmt="jpg"):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp(prefix="bench_host_")
+    paths = []
+    # low-frequency content: realistic JPEG entropy (pure noise over-penalises
+    # the decoder); blocky random fields like synthetic data
+    base = rng.rand(h // 8 + 1, w // 8 + 1, 3)
+    for i in range(n):
+        shift = rng.randint(0, 8, 2)
+        arr = np.kron(np.roll(base, shift, axis=(0, 1)), np.ones((8, 8, 1)))
+        arr = (arr[:h, :w] * 255).astype(np.uint8)
+        p = f"{tmp}/img_{i}.{fmt}"
+        if fmt == "jpg":
+            Image.fromarray(arr).save(p, quality=90)
+        else:
+            Image.fromarray(arr).save(p)
+        paths.append(p)
+    return paths
+
+
+def bench_case(paths, out_size, threads, reps=3):
+    from rnd_semantic_segmentation_tpu.data.native_loader import (
+        _load_batch_pil, load_batch, native_available)
+
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    n = len(paths)
+
+    def timeit(fn):
+        fn()  # warm page cache
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fn()
+        return n * reps / (time.perf_counter() - t0)
+
+    row = {"out_size": list(out_size), "nthreads": threads,
+           "native_available": native_available()}
+    row["native_images_per_sec"] = round(timeit(
+        lambda: load_batch(paths, out_size, mean, std, num_threads=threads)), 1)
+    if threads == 1:
+        row["pil_images_per_sec"] = round(timeit(
+            lambda: _load_batch_pil(paths, out_size, mean, std, 1 / 255.0)), 1)
+    return row
+
+
+def main():
+    ncores = os.cpu_count() or 1
+    rows = []
+    # 512^2 training-crop geometry from 1280x720 JPEGs (Kvasir-like)
+    corpus_small = make_corpus(32, 1280, 720, "jpg")
+    # Cityscapes eval geometry: full-res 2048x1024 PNG -> 1024x2048 is native
+    corpus_big = make_corpus(8, 2048, 1024, "png")
+    for threads in (1, 2, 4, 8):
+        rows.append(bench_case(corpus_small, (512, 512), threads))
+        rows.append(bench_case(corpus_big, (1024, 2048), threads, reps=2))
+
+    result = {
+        "host_cores": ncores,
+        "note": ("single-core harness host: >1-thread rows bound by the one "
+                 "core; per-core throughput is the scaling unit"),
+        "rows": rows,
+        # device-side step rates the host must outrun (bench_all.py, v5e):
+        "device_budget": {
+            "deeplab_train_512_img_per_sec": 107,
+            "gald_eval_1024x2048_img_per_sec": 18,
+        },
+    }
+    for r in rows:
+        print(json.dumps(r), flush=True)
+    one_t_small = rows[0]["native_images_per_sec"]
+    one_t_big = rows[1]["native_images_per_sec"]
+    result["verdict"] = {
+        "workers_needed_deeplab_train": round(107 / max(one_t_small, 1e-9), 2),
+        "workers_needed_gald_eval": round(18 / max(one_t_big, 1e-9), 2),
+    }
+    print(json.dumps({"summary": result["verdict"],
+                      "host_cores": ncores}), flush=True)
+    with open(os.path.join(REPO, "BENCH_HOST.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

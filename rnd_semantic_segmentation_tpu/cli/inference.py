@@ -49,14 +49,19 @@ def build_predictor(cfg, logger):
                 "name": [os.path.basename(image_path)]}
 
     def predict(image_path: str, return_probs: bool = False):
+        from ..serve import quant_scope
+
         batch = _batch(image_path)
         if "tester" not in state:
             tester = Tester(cfg, _OneImageLoader(batch), logger)
             tester._load_checkpoint()
             state["tester"] = tester
         tester = state["tester"]
-        probs = tester._probs(tester.variables, jnp.asarray(batch["image"]),
-                              tuple(batch["image"].shape[1:3]))
+        # TEST.QUANT: calibrates on this image's batch the first time
+        with quant_scope(tester.make_quant_context()):
+            probs = tester._probs(tester.variables,
+                                  jnp.asarray(batch["image"]),
+                                  tuple(batch["image"].shape[1:3]))
         pred = np.asarray(jnp.argmax(probs, axis=-1)[0])
         if return_probs:
             return pred, np.asarray(probs[0])

@@ -104,6 +104,10 @@ _C.TEST.BATCH_SIZE = 1
 _C.TEST.FLIP_TTA = False
 _C.TEST.MULTI_SCALE = False
 _C.TEST.SCALES = (0.7, 1.0, 1.3)
+# TPU-native serving: post-training int8 quantization (serve/quant.py).
+# "none" | "int8" (s8xs8->s32 convs on the MXU) | "fake" (f32 oracle path)
+_C.TEST.QUANT = "none"
+_C.TEST.QUANT_CALIB_BATCHES = 2           # eval batches used for calibration
 
 # ---------------------------------------------------------------------------
 # Distribution / mesh (TPU-native; no reference counterpart — replaces

@@ -164,6 +164,37 @@ class Tester:
             return jax.nn.sigmoid(forward(x, label_size).astype(jnp.float32))
         raise NotImplementedError(fam)
 
+    # -- serving-path quantization ---------------------------------------------
+    def make_quant_context(self):
+        """TEST.QUANT != none: calibrate activation scales on the first
+        TEST.QUANT_CALIB_BATCHES eval batches (eager forward), return a
+        QuantContext (or None) to trace the eval loop under (serve/quant.py).
+        Cached: calibration runs once per Tester."""
+        if hasattr(self, "_qctx"):
+            return self._qctx
+        from ..serve import QuantConfig, calibrate_segmentor
+        from ..serve.quant import quant_error_report, resolve_mode
+
+        if self.cfg.TEST.QUANT == "none":
+            self._qctx = None
+            return None
+        mode = resolve_mode(self.cfg.TEST.QUANT)
+        if mode != self.cfg.TEST.QUANT:
+            self.logger.info(
+                f"TEST.QUANT={self.cfg.TEST.QUANT}: backend lacks int8 conv; "
+                f"using the numerically-identical '{mode}' path")
+        qcfg = QuantConfig(mode=mode,
+                           calib_batches=self.cfg.TEST.QUANT_CALIB_BATCHES)
+        ctx = calibrate_segmentor(self.segmentor, self.variables,
+                                  self.test_loader, config=qcfg)
+        self.logger.info(f"serving quantization: {quant_error_report(ctx)}")
+        self._qctx = ctx
+        return ctx
+
+    def _quant_context(self):
+        from ..serve import quant_scope
+        return quant_scope(self.make_quant_context())
+
     # -- loop --------------------------------------------------------------------
     def test(self) -> Dict:
         cfg = self.cfg
@@ -172,6 +203,11 @@ class Tester:
         cmt = np.zeros((nc, nc), np.int64)
         assert self.variables is not None, "call _load_checkpoint() first"
 
+        with self._quant_context():
+            summary = self._test_loop(cfg, nc, meter, cmt)
+        return summary
+
+    def _test_loop(self, cfg, nc, meter, cmt) -> Dict:
         for batch in self.test_loader:
             x = jnp.asarray(batch["image"])
             y = jnp.asarray(batch["label"])

@@ -63,17 +63,26 @@ class Conv2d(nn.Module):
             jnp.float32,
         )
         dtype = self.dtype or x.dtype
-        y = lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
+        bias = (self.param("bias", self.bias_init, (self.features,), jnp.float32)
+                if self.use_bias else None)
+        conv_kwargs = dict(
             window_strides=_pair(self.stride),
             padding=((ph, ph), (pw, pw)),
             rhs_dilation=_pair(self.dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
         )
-        if self.use_bias:
-            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        # serving-path int8 quantization hook (serve/quant.py); a no-op
+        # (contextvar read at trace time) unless a quant_scope is active.
+        from ..serve.quant import current_quant, module_path
+        qctx = current_quant()
+        if qctx is not None:
+            qy = qctx.conv2d(module_path(self), x, kernel, bias, conv_kwargs)
+            if qy is not None:
+                return qy
+        y = lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype), **conv_kwargs)
+        if bias is not None:
             y = y + bias.astype(dtype)
         return y
 

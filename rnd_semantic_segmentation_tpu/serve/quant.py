@@ -1,0 +1,251 @@
+"""Post-training int8 quantization for the inference/serving path.
+
+TPU v5e executes s8 x s8 -> s32 matmuls/convolutions on the MXU at twice the
+bf16 rate (394 TOPS vs 197 TFLOPS), so a quantized eval path is a genuine
+serving lever, not just a memory trick.  The reference framework has no
+quantization story at all (its serving surface is test.py/inference.py running
+f32 eval, /root/reference/test.py:24-60); this module adds the TPU-native one.
+
+Design (AQT-style in-graph quantization — no parallel "quantized checkpoint"
+artifact to manage):
+
+  * **Activations**: per-conv static scales from a calibration pass.
+    ``calibrate_segmentor`` runs N batches through the eager forward with the
+    context in ``calibrate`` mode; every ``Conv2d`` records the absmax of its
+    input, keyed by its Flax module path.  Scales are plain floats, baked into
+    the jitted graph as constants.
+  * **Weights**: per-output-channel symmetric scales, computed in-graph from
+    the f32 params (one cheap elementwise pass, fused by XLA; params stay f32
+    so checkpoints/importers are untouched).
+  * **Compute**: ``lax.conv_general_dilated`` on int8 operands with
+    ``preferred_element_type=int32``, rescaled to f32 by ``sx * sw`` and the
+    bias added in f32.
+  * **Modes**: ``int8`` (real int8 conv), ``fake`` (quantize-dequantize in
+    f32 — numerically the same model, for platforms without int8 conv support
+    and for isolating accuracy effects from kernel effects), ``calibrate``.
+
+Hook: ``models.layers.Conv2d`` consults ``current_quant()`` at *trace* time.
+Enter ``quant_scope(ctx)`` around both calibration and the jit-compiled eval
+calls; a jit cache populated without the scope will not re-trace, so build
+fresh jitted callables (a fresh ``Tester``) per quant configuration.
+
+Convs are skipped (left in f32/bf16) when their path matches
+``QuantConfig.skip_patterns`` — by default the final classifier convs, the
+standard PTQ practice of keeping the logit-producing layer in high precision.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+import fnmatch
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_QCTX: contextvars.ContextVar = contextvars.ContextVar(
+    "segtpu_quant_ctx", default=None)
+
+
+@dataclass
+class QuantConfig:
+    mode: str = "int8"                       # int8 | fake
+    calib_batches: int = 2
+    # final logit convs stay f32 by default (classifier heads / score layers)
+    skip_patterns: Tuple[str, ...] = (
+        "*classifier*", "*conv_out*", "*score*", "*cls*", "*out_0*",
+    )
+    # percentile of per-batch absmax used as the activation scale; 1.0 = max
+    calib_percentile: float = 1.0
+    # grouped/depthwise convs are bandwidth- not MXU-bound and int8 grouped
+    # conv support varies by backend — keep them in bf16/f32 by default
+    quantize_grouped: bool = False
+
+
+@dataclass
+class QuantContext:
+    """Carries calibration state and scales across Conv2d call sites."""
+
+    config: QuantConfig = field(default_factory=QuantConfig)
+    mode: str = "int8"                        # calibrate | int8 | fake
+    act_scales: Dict[str, float] = field(default_factory=dict)
+    observed: Dict[str, List[float]] = field(default_factory=dict)
+    # per-conv input absmax collected during a (possibly jit-traced) forward;
+    # values are tracers under jit — return them from the traced fn to realise
+    traced: Dict[str, List[jnp.ndarray]] = field(default_factory=dict)
+
+    # -- path filtering ------------------------------------------------------
+    def _skipped(self, path: str) -> bool:
+        return any(fnmatch.fnmatch(path, p) for p in self.config.skip_patterns)
+
+    # -- calibration ---------------------------------------------------------
+    def record(self, path: str, x: jnp.ndarray) -> None:
+        if self._skipped(path):
+            return
+        self.traced.setdefault(path, []).append(
+            jnp.max(jnp.abs(x.astype(jnp.float32))))
+
+    def traced_maxes(self) -> Dict[str, jnp.ndarray]:
+        """Reduce multiple call sites of the same conv (weight sharing) to one
+        scalar per path.  Under jit these are tracers: return them as outputs."""
+        return {p: (v[0] if len(v) == 1 else jnp.maximum(*v[:2]) if len(v) == 2
+                    else jnp.max(jnp.stack(v)))
+                for p, v in self.traced.items()}
+
+    def absorb(self, maxes: Dict[str, float]) -> None:
+        for path, v in maxes.items():
+            self.observed.setdefault(path, []).append(float(v))
+
+    def finalize_scales(self) -> Dict[str, float]:
+        if not self.observed and self.traced:
+            # eager calibration path: realise the traced values directly
+            self.absorb({p: float(v) for p, v in self.traced_maxes().items()})
+        pct = self.config.calib_percentile
+        for path, maxes in self.observed.items():
+            v = (max(maxes) if pct >= 1.0
+                 else float(np.quantile(np.asarray(maxes), pct)))
+            # zero-input conv (e.g. dead branch during calibration): keep f32
+            if v > 0.0:
+                self.act_scales[path] = v / 127.0
+        return self.act_scales
+
+    # -- the Conv2d hook -----------------------------------------------------
+    def conv2d(self, path: str, x: jnp.ndarray, kernel: jnp.ndarray,
+               bias: Optional[jnp.ndarray], conv_kwargs: Dict) -> Optional[jnp.ndarray]:
+        """Quantized replacement for Conv2d's compute.  Returns None when this
+        conv should take the normal f32/bf16 path (calibration, skipped, or
+        no scale was observed for it)."""
+        grouped = conv_kwargs.get("feature_group_count", 1) > 1
+        if grouped and not self.config.quantize_grouped:
+            return None
+        if self.mode == "calibrate":
+            self.record(path, x)
+            return None
+        if self._skipped(path) or path not in self.act_scales:
+            return None
+        sx = self.act_scales[path]
+
+        xf = x.astype(jnp.float32)
+        kf = kernel.astype(jnp.float32)
+        # per-output-channel symmetric weight scale, shape (1,1,1,O)
+        sw = jnp.max(jnp.abs(kf), axis=(0, 1, 2), keepdims=True) / 127.0
+        sw = jnp.maximum(sw, 1e-12)
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127)
+        kq = jnp.clip(jnp.round(kf / sw), -127, 127)
+
+        if self.mode == "int8":
+            y = lax.conv_general_dilated(
+                xq.astype(jnp.int8), kq.astype(jnp.int8),
+                preferred_element_type=jnp.int32, **conv_kwargs
+            ).astype(jnp.float32)
+        else:  # fake: same arithmetic in f32 (oracle / fallback)
+            y = lax.conv_general_dilated(xq, kq, **conv_kwargs)
+        y = y * (sx * sw.reshape((1, 1, 1, -1)))
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+def current_quant() -> Optional[QuantContext]:
+    return _QCTX.get()
+
+
+_INT8_CONV_SUPPORT: Optional[bool] = None
+
+
+def supports_int8_conv() -> bool:
+    """Probe (once) whether the active backend compiles s8xs8->s32 convs.
+    Falls back to the numerically-identical f32 'fake' path when it doesn't."""
+    global _INT8_CONV_SUPPORT
+    if _INT8_CONV_SUPPORT is None:
+        try:
+            x = jnp.ones((1, 4, 4, 8), jnp.int8)
+            k = jnp.ones((1, 1, 8, 8), jnp.int8)
+            y = jax.jit(lambda a, b: lax.conv_general_dilated(
+                a, b, window_strides=(1, 1), padding=((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32))(x, k)
+            _INT8_CONV_SUPPORT = int(np.asarray(y)[0, 0, 0, 0]) == 8
+        except Exception:
+            _INT8_CONV_SUPPORT = False
+    return _INT8_CONV_SUPPORT
+
+
+def resolve_mode(mode: str) -> str:
+    if mode == "int8" and not supports_int8_conv():
+        return "fake"
+    return mode
+
+
+@contextlib.contextmanager
+def quant_scope(ctx: Optional[QuantContext]):
+    token = _QCTX.set(ctx)
+    try:
+        yield ctx
+    finally:
+        _QCTX.reset(token)
+
+
+def module_path(module) -> str:
+    """Stable string key for a Flax module instance ('/'-joined scope path)."""
+    try:
+        return "/".join(module.scope.path)
+    except Exception:
+        return module.name or module.__class__.__name__
+
+
+# ---------------------------------------------------------------- helpers ----
+
+def calibrate_segmentor(segmentor, variables, batches,
+                        config: Optional[QuantConfig] = None,
+                        label_size: Optional[Tuple[int, int]] = None) -> QuantContext:
+    """Collect per-conv activation ranges over ``batches`` (arrays or dicts
+    with 'image'); returns a ready-to-serve context.
+
+    The collecting forward is jit-compiled — per-conv absmax scalars are
+    outputs of the traced graph, so calibration costs one compiled forward per
+    batch instead of an op-by-op eager walk (which through the remote-TPU
+    tunnel would take minutes)."""
+    cfg = config or QuantConfig()
+    ctx = QuantContext(config=cfg, mode="calibrate")
+    params = {n: dict(v)["params"] for n, v in variables.items()}
+    stats = {n: {k: c for k, c in dict(v).items() if k != "params"}
+             for n, v in variables.items()}
+
+    jitted = {}
+
+    def collect(x, ls):
+        if ls not in jitted:
+            def _fwd_collect(params, stats, x):
+                trace_ctx = QuantContext(config=cfg, mode="calibrate")
+                with quant_scope(trace_ctx):
+                    segmentor.forward(params, stats, x, label_size=ls,
+                                      train=False)
+                return trace_ctx.traced_maxes()
+            jitted[ls] = jax.jit(_fwd_collect)
+        return jax.device_get(jitted[ls](params, stats, x))
+
+    for i, batch in enumerate(batches):
+        if i >= cfg.calib_batches:
+            break
+        x = batch["image"] if isinstance(batch, dict) else batch
+        x = jnp.asarray(x)
+        ls = label_size or tuple(x.shape[1:3])
+        ctx.absorb(collect(x, ls))
+    ctx.finalize_scales()
+    ctx.mode = cfg.mode
+    return ctx
+
+
+def quant_error_report(ctx: QuantContext) -> Dict[str, float]:
+    """Summary of the calibration outcome (for logs / demo output)."""
+    return {
+        "quantized_convs": len(ctx.act_scales),
+        "mode": ctx.mode,
+        "max_act_scale": max(ctx.act_scales.values()) if ctx.act_scales else 0.0,
+        "min_act_scale": min(ctx.act_scales.values()) if ctx.act_scales else 0.0,
+    }
