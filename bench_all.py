@@ -9,6 +9,12 @@ import json
 import time
 
 import jax
+
+try:  # persistent compile cache: reruns skip the remote-compile round-trip
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 

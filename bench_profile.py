@@ -25,26 +25,13 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-CATEGORIES = [
-    ("conv", re.compile(r"conv|%cudnn|wgrad", re.I)),
-    ("matmul", re.compile(r"dot|einsum|matmul", re.I)),
-    ("allreduce", re.compile(r"all-reduce|all-gather|reduce-scatter|collective", re.I)),
-    ("copy/transpose", re.compile(r"copy|transpose|bitcast|reshape", re.I)),
-    ("reduce", re.compile(r"reduce(?!-scatter)", re.I)),
-    ("scatter/gather", re.compile(r"scatter|gather|dynamic-slice|dynamic-update", re.I)),
-    ("fusion(elementwise)", re.compile(r"fusion|fused", re.I)),
-]
-
-
-def categorize(name: str) -> str:
-    for cat, rx in CATEGORIES:
-        if rx.search(name):
-            return cat
-    return "other"
-
-
 def run_step_under_trace(model, nc, size, batch, steps, trace_dir):
     import jax
+    try:  # persistent compile cache: reruns skip the remote-compile round-trip
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from rnd_semantic_segmentation_tpu.configs import get_default_cfg
@@ -83,6 +70,17 @@ def run_step_under_trace(model, nc, size, batch, steps, trace_dir):
 
 
 def parse_trace(trace_dir, steps):
+    """Aggregate the device 'XLA Ops' row (leaf HLO ops, no step/module
+    containers) into per-op-group device time.
+
+    TPU naming note (measured on v5e): convolutions rarely appear under a
+    'convolution' name — forward/dgrad convs become `fusion.N` and wgrad
+    convs get named after their fused *epilogue* (e.g. the SGD momentum
+    update makes the wgrad show up as `multiply_subtract_fusion`).  Duration
+    is the tell: a weight-shaped 'elementwise' op taking milliseconds is a
+    wgrad conv, not a bandwidth bubble.  Grouping by name prefix keeps those
+    distinctions visible instead of mis-binning everything as 'fusion'.
+    """
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     assert paths, f"no trace under {trace_dir}"
@@ -90,35 +88,45 @@ def parse_trace(trace_dir, steps):
         data = json.load(f)
     events = data.get("traceEvents", [])
 
-    # device rows: pids whose process_name metadata mentions the accelerator
-    proc_names = {}
+    proc_names, thread_names = {}, {}
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             proc_names[e["pid"]] = e.get("args", {}).get("name", "")
+        elif e.get("name") == "thread_name":
+            thread_names[(e["pid"], e["tid"])] = e.get("args", {}).get("name", "")
     dev_pids = {pid for pid, n in proc_names.items()
-                if re.search(r"tpu|device|/device:|accelerator|xla", n, re.I)
-                and not re.search(r"python|host", n, re.I)}
+                if re.search(r"/device:|tpu|accelerator", n, re.I)
+                and not re.search(r"host", n, re.I)}
+    op_rows = {k for k, n in thread_names.items()
+               if k[0] in dev_pids and n == "XLA Ops"}
 
     per_op = collections.Counter()
+    per_group = collections.Counter()
+    group_count = collections.Counter()
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        if dev_pids and e.get("pid") not in dev_pids:
+        if (e.get("pid"), e.get("tid")) not in op_rows:
             continue
         per_op[e["name"]] += e["dur"]  # us
+        g = re.sub(r"\.\d+$", "", e["name"])
+        per_group[g] += e["dur"]
+        group_count[g] += 1
 
     total = sum(per_op.values())
-    cats = collections.Counter()
-    for name, dur in per_op.items():
-        cats[categorize(name)] += dur
     top = per_op.most_common(25)
     return {
         "device_pids": sorted(dev_pids),
         "total_device_us": total,
         "per_step_ms": round(total / steps / 1e3, 3),
-        "category_share": {c: round(d / max(total, 1), 4)
-                           for c, d in cats.most_common()},
-        "top_ops": [{"name": n[:120], "us": d,
+        "group_share": [
+            {"group": g, "share": round(d / max(total, 1), 4),
+             "ms_per_step": round(d / steps / 1e3, 2),
+             "ops_per_step": group_count[g] // max(steps, 1)}
+            for g, d in per_group.most_common(20)],
+        "top_ops": [{"name": n[:120], "us": round(d, 1),
                      "share": round(d / max(total, 1), 4)} for n, d in top],
     }
 
@@ -137,10 +145,22 @@ def main():
                          args.steps, trace_dir)
     report = parse_trace(trace_dir, args.steps)
     report["config"] = vars(args)
-    print(json.dumps({"category_share": report["category_share"],
-                      "per_step_ms": report["per_step_ms"]}, indent=1))
-    for op in report["top_ops"][:12]:
-        print(json.dumps(op))
+    report["conclusion"] = (
+        "v5e @512 bf16 b16 (2026-08-16): 145.4 ms/step device time. "
+        "fusion(226 ops, fwd+dgrad convs) 32.5% + multiply_subtract_fusion"
+        "(108 ops, wgrad convs with the SGD momentum update fused as "
+        "epilogue; 8.2 ms each matches the 616-GFLOP 3x3x512x512 wgrad at "
+        "~105 TFLOPS) 24.9% + multiply_add_fusion 10.4% => ~70% of the step "
+        "is conv MXU work at the measured per-conv ceiling. The largest "
+        "non-conv groups — compare_select_fusion (ReLU backward masks on "
+        "OS8 activations, 14.9%) and add_add_fusion (residual-grad adds, "
+        "9.9%) — are HBM-bandwidth-bound elementwise on [16,64,64,1-2k] "
+        "bf16 tensors and run at/above naive roofline estimates (0.45-0.65 "
+        "ms vs ~1 ms naive). No non-conv bubble >5% exists that XLA has "
+        "not already fused; per VERDICT r1 #10 the exploration stops here.")
+    print(json.dumps({"per_step_ms": report["per_step_ms"]}))
+    for g in report["group_share"][:12]:
+        print(json.dumps(g))
     with open(os.path.join(REPO, "BENCH_PROFILE.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(f"full report -> BENCH_PROFILE.json (trace in {trace_dir})")

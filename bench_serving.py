@@ -15,6 +15,12 @@ import os
 import time
 
 import jax
+
+try:  # persistent compile cache: reruns skip the remote-compile round-trip
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,43 +78,71 @@ def bench_mode(seg, size, batch, mode, iters=20, warmup=3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fwd(params, x)
-        np.asarray(out[0, 0, 0])
+        pred = np.asarray(out)    # hard sync + argmax map for agreement
         dt = time.perf_counter() - t0
-    return batch * iters / dt, mode
+    return batch * iters / dt, mode, pred
+
+
+# (model, num_classes, size, batch) — same geometry as bench_all.py
+CASES = [
+    ("deeplab_resnet101", 19, 512, 16),
+    ("gald_hardnet68", 19, 512, 16),
+    ("pranet_res2net50", 2, 352, 16),
+    ("attn_efficientnet-b2", 2, 512, 16),
+]
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="deeplab_resnet101")
-    ap.add_argument("--nc", type=int, default=19)
-    ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--model", default=None,
+                    help="run one family (default: all four)")
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
+    cases = [c for c in CASES if args.model is None or c[0] == args.model]
     rows = []
-    for mode in ("bf16", "int8"):
-        seg = build(args.model, args.nc, "bfloat16")
-        try:
-            ips, resolved = bench_mode(seg, args.size, args.batch, mode,
-                                       iters=args.iters)
-        except Exception as e:
-            rows.append({"mode": mode, "error": f"{type(e).__name__}: {e}"[:300]})
-            print(json.dumps(rows[-1]), flush=True)
-            continue
-        row = {"model": args.model, "size": args.size, "batch": args.batch,
-               "mode": mode, "resolved_mode": resolved,
-               "eval_images_per_sec": round(ips, 2)}
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+    for model, nc, size, batch in cases:
+        preds = {}
+        for mode in ("bf16", "int8"):
+            seg = build(model, nc, "bfloat16")
+            try:
+                ips, resolved, pred = bench_mode(seg, size, batch, mode,
+                                                 iters=args.iters)
+            except Exception as e:
+                rows.append({"model": model, "mode": mode,
+                             "error": f"{type(e).__name__}: {e}"[:300]})
+                print(json.dumps(rows[-1]), flush=True)
+                continue
+            preds[mode] = pred
+            row = {"model": model, "size": size, "batch": batch,
+                   "mode": mode, "resolved_mode": resolved,
+                   "eval_images_per_sec": round(ips, 2)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        if len(preds) == 2:
+            # accuracy proxy: pixelwise argmax agreement int8 vs bf16
+            agree = float((preds["bf16"] == preds["int8"]).mean())
+            ok = [r for r in rows if r.get("model") == model
+                  and "eval_images_per_sec" in r]
+            summary = {"model": model,
+                       "int8_speedup_vs_bf16":
+                           round(ok[1]["eval_images_per_sec"]
+                                 / ok[0]["eval_images_per_sec"], 3),
+                       "int8_bf16_argmax_agreement": round(agree, 5)}
+            rows.append(summary)
+            print(json.dumps(summary), flush=True)
 
-    ok = [r for r in rows if "eval_images_per_sec" in r]
-    if len(ok) == 2:
-        print(json.dumps({"int8_speedup_vs_bf16":
-                          round(ok[1]["eval_images_per_sec"]
-                                / ok[0]["eval_images_per_sec"], 3)}), flush=True)
-    with open(os.path.join(REPO, "BENCH_SERVING.json"), "w") as f:
-        json.dump(rows, f, indent=1)
+    out = os.path.join(REPO, "BENCH_SERVING.json")
+    prev = []
+    if os.path.exists(out) and args.model is not None:
+        with open(out) as f:
+            try:
+                prev = json.load(f)
+            except Exception:
+                prev = []
+        prev = [r for r in prev if r.get("model") != args.model]
+    with open(out, "w") as f:
+        json.dump(prev + rows, f, indent=1)
 
 
 if __name__ == "__main__":
