@@ -33,18 +33,44 @@ def _to_pytree(state: TrainState, epoch: int) -> Dict[str, Any]:
     }
 
 
-def save_checkpoint(path: str, state: TrainState, epoch: int) -> str:
+_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    """One shared (async-capable) checkpointer so in-flight saves can be
+    awaited from anywhere (`wait_for_checkpoints`)."""
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def save_checkpoint(path: str, state: TrainState, epoch: int,
+                    wait: bool = True) -> str:
+    """Save; with ``wait=False`` the host->disk serialization runs in the
+    background (Orbax async) and training continues — the device->host fetch
+    (`jax.device_get`) still happens eagerly so the saved state is a
+    consistent snapshot of *this* step.  Call ``wait_for_checkpoints()``
+    before reading the checkpoint back or exiting."""
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(path, jax.device_get(_to_pytree(state, epoch)), force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
     return path
+
+
+def wait_for_checkpoints() -> None:
+    """Block until all async `save_checkpoint(..., wait=False)` complete."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def load_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int]:
     """Restore into the structure of `state`; returns (state, start_epoch)."""
+    wait_for_checkpoints()  # a just-written async ckpt must be finalized
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     template = _to_pytree(state, 0)
     restored = ckptr.restore(path, template)
     modules = {

@@ -86,6 +86,9 @@ _C.SOLVER.DECAY_EPOCH = 50
 _C.SOLVER.GAMMA = 0.1
 _C.SOLVER.CHECKPOINT_PERIOD = 5
 _C.SOLVER.KEEP_CHECKPOINTS = 0            # prune to last N (0 = keep all)
+# Overlap checkpoint disk serialization with training (Orbax async save);
+# the device->host snapshot is still taken synchronously at the save step.
+_C.SOLVER.ASYNC_CHECKPOINT = False
 # Global batch size; split across the data-parallel mesh axis
 # (reference core/configs/defaults.py:74-77 documents the same global semantics).
 _C.SOLVER.BATCH_SIZE = 8

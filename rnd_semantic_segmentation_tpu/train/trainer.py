@@ -165,12 +165,15 @@ class Trainer:
             if (epoch % cfg.SOLVER.CHECKPOINT_PERIOD == 0
                     and process_is_primary()):
                 path = checkpoint_name(cfg.OUTPUT_DIR, self.spec.ckpt_prefix, epoch)
-                save_checkpoint(path, self.state, epoch)
+                save_checkpoint(path, self.state, epoch,
+                                wait=not cfg.SOLVER.ASYNC_CHECKPOINT)
                 self.logger.info(f"[Saving Snapshot:] {path}")
                 from ..ckpt.orbax_io import prune_checkpoints
                 prune_checkpoints(cfg.OUTPUT_DIR, self.spec.ckpt_prefix,
                                   cfg.SOLVER.KEEP_CHECKPOINTS)
 
+        from ..ckpt.orbax_io import wait_for_checkpoints
+        wait_for_checkpoints()
         total = time.time() - start
         self.logger.info(
             f"Total training time: {datetime.timedelta(seconds=int(total))} "
@@ -280,9 +283,12 @@ class FadaTrainer:
                              step=self.state.seg.step)
                 path = checkpoint_name(cfg.OUTPUT_DIR,
                                        f"{self.spec.ckpt_prefix}Fada", epoch)
-                save_checkpoint(path, packed, epoch)
+                save_checkpoint(path, packed, epoch,
+                                wait=not cfg.SOLVER.ASYNC_CHECKPOINT)
                 self.logger.info(f"[Saving Snapshot:] {path}")
 
+        from ..ckpt.orbax_io import wait_for_checkpoints
+        wait_for_checkpoints()
         dump_json(os.path.join(cfg.OUTPUT_DIR,
                                f"{self.spec.family}_fada_chart_params.json"),
                   {"learning rate": series["lr"],

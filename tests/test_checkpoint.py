@@ -80,3 +80,35 @@ def test_prune_checkpoints(tmp_path):
     assert left == ["Aspp-3", "Aspp-4", "Gald-1"]
     prune_checkpoints(str(tmp_path), "Aspp", keep=0)  # no-op
     assert sorted(os.listdir(tmp_path)) == ["Aspp-3", "Aspp-4", "Gald-1"]
+
+
+def test_async_save_roundtrip(tmp_path):
+    """SOLVER.ASYNC_CHECKPOINT path: save with wait=False overlaps disk
+    serialization; wait_for_checkpoints() (also called inside load) must
+    finalize it and the restored state must match bit-for-bit."""
+    from rnd_semantic_segmentation_tpu.ckpt.orbax_io import wait_for_checkpoints
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "deeplab_resnet18"
+    cfg.MODEL.DTYPE = "float32"
+    cfg.MODEL.NUM_CLASSES = 3
+    cfg.SOLVER.BASE_LR = 1e-4
+    spec = build_segmentor(cfg)
+    seg = Segmentor(spec, 3)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    variables = seg.init(jax.random.PRNGKey(1), x)
+    state = seg.make_states(variables, make_optimizers(spec, cfg))
+
+    path = checkpoint_name(str(tmp_path), spec.ckpt_prefix, epoch=3)
+    save_checkpoint(path, state, epoch=3, wait=False)
+    wait_for_checkpoints()
+
+    variables2 = seg.init(jax.random.PRNGKey(2), x)
+    state2 = seg.make_states(variables2, make_optimizers(spec, cfg))
+    restored, start_epoch = load_checkpoint(path, state2)
+    assert start_epoch == 4
+    a = jax.tree.leaves(state.modules["classifier"].params)
+    b = jax.tree.leaves(restored.modules["classifier"].params)
+    for x1, x2 in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
