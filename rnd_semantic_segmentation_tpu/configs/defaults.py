@@ -111,6 +111,10 @@ _C.TEST.SCALES = (0.7, 1.0, 1.3)
 # "none" | "int8" (s8xs8->s32 convs on the MXU) | "fake" (f32 oracle path)
 _C.TEST.QUANT = "none"
 _C.TEST.QUANT_CALIB_BATCHES = 2           # eval batches used for calibration
+# int8 only where the MXU pays: convs with in/out channels below this stay
+# bf16; odd widths are zero-padded to the int8 tile boundary in-kernel
+# (v5e microbench in serve/quant.py QuantConfig.min_channels/pad_channels)
+_C.TEST.QUANT_MIN_CHANNELS = 64
 
 # ---------------------------------------------------------------------------
 # Distribution / mesh (TPU-native; no reference counterpart — replaces

@@ -184,7 +184,8 @@ class Tester:
                 f"TEST.QUANT={self.cfg.TEST.QUANT}: backend lacks int8 conv; "
                 f"using the numerically-identical '{mode}' path")
         qcfg = QuantConfig(mode=mode,
-                           calib_batches=self.cfg.TEST.QUANT_CALIB_BATCHES)
+                           calib_batches=self.cfg.TEST.QUANT_CALIB_BATCHES,
+                           min_channels=self.cfg.TEST.QUANT_MIN_CHANNELS)
         ctx = calibrate_segmentor(self.segmentor, self.variables,
                                   self.test_loader, config=qcfg)
         self.logger.info(f"serving quantization: {quant_error_report(ctx)}")

@@ -64,6 +64,18 @@ class QuantConfig:
     # grouped/depthwise convs are bandwidth- not MXU-bound and int8 grouped
     # conv support varies by backend — keep them in bf16/f32 by default
     quantize_grouped: bool = False
+    # only quantize convs with in/out channels >= this.  Measured on v5e
+    # with a 30-conv chained microbench (per-conv quant overhead included):
+    # c=26 int8 loses (0.76-0.94x) however padded, c=64 is ~1.0-1.18x,
+    # c=104 1.25x, c=256 1.5x, c=512 1.73x.  Below 64 channels the quantize/
+    # rescale passes outweigh the MXU gain — keep those convs bf16.
+    min_channels: int = 64
+    # pad channel dims to this multiple before the int8 conv (zeros contribute
+    # nothing; output columns are sliced off).  v5e microbench: odd widths
+    # take a slow lowering (c=214 unpadded 0.88x vs bf16) and padding to the
+    # int8 tile boundary rescues them (c=214 pad128 -> 1.36x, c=104 pad32 ->
+    # 1.25x).  Rule: pad to 32 below 128 channels, to 128 above.
+    pad_channels: bool = True
 
 
 @dataclass
@@ -122,6 +134,9 @@ class QuantContext:
         grouped = conv_kwargs.get("feature_group_count", 1) > 1
         if grouped and not self.config.quantize_grouped:
             return None
+        ci, co = kernel.shape[2], kernel.shape[3]
+        if min(ci, co) < self.config.min_channels:
+            return None
         if self.mode == "calibrate":
             self.record(path, x)
             return None
@@ -138,10 +153,21 @@ class QuantContext:
         kq = jnp.clip(jnp.round(kf / sw), -127, 127)
 
         if self.mode == "int8":
+            x8, k8 = xq.astype(jnp.int8), kq.astype(jnp.int8)
+            pad_i = pad_o = 0
+            if self.config.pad_channels:
+                tile = lambda c: 32 if c <= 128 else 128
+                pad_i, pad_o = (-ci) % tile(ci), (-co) % tile(co)
+            if pad_i:
+                x8 = jnp.pad(x8, ((0, 0), (0, 0), (0, 0), (0, pad_i)))
+                k8 = jnp.pad(k8, ((0, 0), (0, 0), (0, pad_i), (0, 0)))
+            if pad_o:
+                k8 = jnp.pad(k8, ((0, 0), (0, 0), (0, 0), (0, pad_o)))
             y = lax.conv_general_dilated(
-                xq.astype(jnp.int8), kq.astype(jnp.int8),
-                preferred_element_type=jnp.int32, **conv_kwargs
-            ).astype(jnp.float32)
+                x8, k8, preferred_element_type=jnp.int32, **conv_kwargs)
+            if pad_o:
+                y = y[..., :co]
+            y = y.astype(jnp.float32)
         else:  # fake: same arithmetic in f32 (oracle / fallback)
             y = lax.conv_general_dilated(xq, kq, **conv_kwargs)
         y = y * (sx * sw.reshape((1, 1, 1, -1)))

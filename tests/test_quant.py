@@ -38,7 +38,8 @@ def _calibrated_ctx(model, variables, x, mode, resolve=True):
     from rnd_semantic_segmentation_tpu.serve import resolve_mode
     if resolve:
         mode = resolve_mode(mode)
-    cfg = QuantConfig(mode=mode, calib_batches=1, skip_patterns=())
+    cfg = QuantConfig(mode=mode, calib_batches=1, skip_patterns=(),
+                      min_channels=0)
     ctx = QuantContext(config=cfg, mode="calibrate")
     with quant_scope(ctx):
         model.apply(variables, x)
@@ -85,7 +86,7 @@ def test_quant_scope_is_noop_when_inactive():
 def test_skip_patterns_keep_convs_f32():
     model, variables, x = _init_and_input(seed=3)
     cfg = QuantConfig(mode="int8", calib_batches=1,
-                      skip_patterns=("*conv_b*",))
+                      skip_patterns=("*conv_b*",), min_channels=0)
     ctx = QuantContext(config=cfg, mode="calibrate")
     with quant_scope(ctx):
         model.apply(variables, x)
@@ -124,7 +125,8 @@ def test_segmentor_calibrate_and_quant_forward():
     p_ref = probs(x)
     ctx = calibrate_segmentor(
         seg, variables, [{"image": x}],
-        config=QuantConfig(mode=resolve_mode("int8"), calib_batches=1))
+        config=QuantConfig(mode=resolve_mode("int8"), calib_batches=1,
+                           min_channels=0))
     assert len(ctx.act_scales) > 5  # backbone convs calibrated
     with quant_scope(ctx):
         p_q = jax.jit(probs)(x)
@@ -155,3 +157,22 @@ def test_tester_quant_e2e(tmp_path):
     s_f32 = run("none")
     s_int8 = run("int8")
     assert abs(s_int8["macro_miou"] - s_f32["macro_miou"]) < 0.05
+
+
+def test_min_channels_gate_keeps_small_convs_bf16():
+    """v5e measurement: small-channel int8 convs are slower than bf16 —
+    QuantConfig.min_channels must keep them on the normal path entirely
+    (not calibrated, not quantized)."""
+    model, variables, x = _init_and_input(seed=4)
+    cfg = QuantConfig(mode="fake", calib_batches=1, skip_patterns=(),
+                      min_channels=256)
+    ctx = QuantContext(config=cfg, mode="calibrate")
+    with quant_scope(ctx):
+        model.apply(variables, x)
+    ctx.finalize_scales()
+    assert ctx.act_scales == {}  # 16/8-channel convs all below the gate
+    ctx.mode = "fake"
+    y_ref = model.apply(variables, x)
+    with quant_scope(ctx):
+        y_q = model.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(y_q), np.asarray(y_ref))
