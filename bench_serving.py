@@ -43,15 +43,16 @@ def build(model, nc, dtype):
 
 
 def bench_mode(seg, size, batch, mode, iters=20, warmup=3, min_channels=None):
+    h, w = (size, size) if isinstance(size, int) else size
     from rnd_semantic_segmentation_tpu.serve import (
         QuantConfig, calibrate_segmentor, quant_scope, resolve_mode)
 
     rng = np.random.RandomState(0)
     in_dtype = jnp.bfloat16 if mode != "f32" else jnp.float32
-    x = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32)
+    x = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32)
                     ).astype(in_dtype)
     variables = seg.init(jax.random.PRNGKey(0),
-                         jnp.zeros((1, size, size, 3), in_dtype))
+                         jnp.zeros((1, h, w, 3), in_dtype))
     params = {n: dict(v)["params"] for n, v in variables.items()}
     stats = {n: {k: c for k, c in dict(v).items() if k != "params"}
              for n, v in variables.items()}
@@ -59,7 +60,7 @@ def bench_mode(seg, size, batch, mode, iters=20, warmup=3, min_channels=None):
     @jax.jit
     def fwd(params, image):
         outputs, _, _ = seg.forward(params, stats, image,
-                                    label_size=(size, size), train=False)
+                                    label_size=(h, w), train=False)
         return jnp.argmax(outputs[0].astype(jnp.float32), axis=-1)
 
     ctx = None
@@ -94,6 +95,9 @@ CASES = [
     ("gald_hardnet68", 19, 512, 16),
     ("pranet_res2net50", 2, 352, 16),
     ("attn_efficientnet-b2", 2, 512, 16),
+    # the reference's Cityscapes distill-test geometry (INPUT_SIZE_TEST
+    # [2048,1024], configs/deeplabv2_r101_tgt_self_distill.yaml:12)
+    ("gald_hardnet68@1024x2048", 19, (1024, 2048), 2),
 ]
 
 
@@ -108,7 +112,8 @@ def main():
 
     cases = [c for c in CASES if args.model is None or c[0] == args.model]
     rows = []
-    for model, nc, size, batch in cases:
+    for case_name, nc, size, batch in cases:
+        model = case_name.split("@")[0]
         preds = {}
         for mode in ("bf16", "int8"):
             seg = build(model, nc, "bfloat16")
@@ -117,12 +122,12 @@ def main():
                                                  iters=args.iters,
                                                  min_channels=args.min_channels)
             except Exception as e:
-                rows.append({"model": model, "mode": mode,
+                rows.append({"model": case_name, "mode": mode,
                              "error": f"{type(e).__name__}: {e}"[:300]})
                 print(json.dumps(rows[-1]), flush=True)
                 continue
             preds[mode] = pred
-            row = {"model": model, "size": size, "batch": batch,
+            row = {"model": case_name, "size": size, "batch": batch,
                    "mode": mode, "resolved_mode": resolved,
                    "eval_images_per_sec": round(ips, 2)}
             rows.append(row)
@@ -130,9 +135,9 @@ def main():
         if len(preds) == 2:
             # accuracy proxy: pixelwise argmax agreement int8 vs bf16
             agree = float((preds["bf16"] == preds["int8"]).mean())
-            ok = [r for r in rows if r.get("model") == model
+            ok = [r for r in rows if r.get("model") == case_name
                   and "eval_images_per_sec" in r]
-            summary = {"model": model,
+            summary = {"model": case_name,
                        "int8_speedup_vs_bf16":
                            round(ok[1]["eval_images_per_sec"]
                                  / ok[0]["eval_images_per_sec"], 3),
