@@ -204,6 +204,82 @@ int segdata_load_batch(const char** paths, int n, int oh, int ow,
   return good.load();
 }
 
+// Write an HxW uint8 class-id map as an 8-bit palettized (P-mode) PNG —
+// the --saveres pseudo-label export format (reference utility.py:211-217
+// via PIL; this is the native fast path for Cityscapes-scale exports).
+// palette: pal_n RGB triplets (<= 256).  Returns 1 on success.
+int segdata_save_palette_png(const char* path, const unsigned char* pred,
+                             int h, int w, const unsigned char* palette,
+                             int pal_n) {
+  if (pal_n < 1 || pal_n > 256) return 0;
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 0;
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                            nullptr, nullptr);
+  if (!png) { std::fclose(f); return 0; }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    std::fclose(f);
+    return 0;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    std::fclose(f);
+    return 0;
+  }
+  png_init_io(png, f);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_PALETTE,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_color plte[256];
+  for (int i = 0; i < pal_n; ++i) {
+    plte[i].red = palette[i * 3 + 0];
+    plte[i].green = palette[i * 3 + 1];
+    plte[i].blue = palette[i * 3 + 2];
+  }
+  png_set_PLTE(png, info, plte, pal_n);
+  // label PNGs favor write speed over ratio: id maps are runs of equal
+  // bytes, which compress fine even at the fastest level
+  png_set_compression_level(png, 3);
+  png_write_info(png, info);
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y)
+    rows[y] = const_cast<png_bytep>(pred + size_t(y) * w);
+  png_write_image(png, rows.data());
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  std::fclose(f);
+  return 1;
+}
+
+// Threaded batch flavor: preds is n contiguous HxW maps.  Returns count
+// written; ok[i] records per-file success.
+int segdata_save_palette_png_batch(const char** paths,
+                                   const unsigned char* preds, int n, int h,
+                                   int w, const unsigned char* palette,
+                                   int pal_n, int nthreads,
+                                   unsigned char* ok) {
+  if (nthreads < 1) nthreads = 1;
+  std::atomic<int> next(0), good(0);
+  size_t stride = size_t(h) * w;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int r = segdata_save_palette_png(paths[i], preds + stride * i, h, w,
+                                       palette, pal_n);
+      ok[i] = static_cast<unsigned char>(r);
+      if (r) good.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  int nt = nthreads < n ? nthreads : n;
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return good.load();
+}
+
 // Decode a single image to uint8 HWC (for label maps / inspection).
 // Returns 1 on success; caller provides max_bytes-sized buffer and receives
 // h/w/c. Images larger than max_bytes fail.

@@ -59,6 +59,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int)]
+    lib.segdata_save_palette_png.restype = ctypes.c_int
+    lib.segdata_save_palette_png.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
+    lib.segdata_save_palette_png_batch.restype = ctypes.c_int
+    lib.segdata_save_palette_png_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte)]
     _lib = lib
     return _lib
 
@@ -88,6 +98,47 @@ def load_batch(paths: Sequence[str], size: Tuple[int, int],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         okv.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
     return out, okv.astype(bool)
+
+
+def save_palette_png(path: str, pred: np.ndarray,
+                     palette: Sequence[int]) -> bool:
+    """Native fast path for writing one HxW uint8 class-id map as a P-mode
+    PNG (the ``--saveres`` pseudo-label format).  Returns False when the
+    native library is unavailable (caller falls back to PIL)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    pred = np.ascontiguousarray(pred, np.uint8)
+    pal = np.zeros(768, np.uint8)
+    flat = np.asarray(list(palette), np.uint8).ravel()
+    pal[:min(len(flat), 768)] = flat[:768]
+    h, w = pred.shape
+    r = lib.segdata_save_palette_png(
+        path.encode(), pred.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        h, w, pal.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), 256)
+    return bool(r)
+
+
+def save_palette_png_batch(paths: Sequence[str], preds: np.ndarray,
+                           palette: Sequence[int],
+                           num_threads: int = 8) -> np.ndarray:
+    """Threaded batch export: preds [N,H,W] uint8.  Returns ok[N] bool."""
+    lib = get_lib()
+    n = len(paths)
+    okv = np.zeros((n,), np.uint8)
+    preds = np.ascontiguousarray(preds, np.uint8)
+    if lib is None or n == 0:
+        return okv.astype(bool)
+    pal = np.zeros(768, np.uint8)
+    flat = np.asarray(list(palette), np.uint8).ravel()
+    pal[:min(len(flat), 768)] = flat[:768]
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.segdata_save_palette_png_batch(
+        arr, preds.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n, preds.shape[1], preds.shape[2],
+        pal.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), 256,
+        num_threads, okv.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    return okv.astype(bool)
 
 
 def _load_batch_pil(paths, size, mean, std, scale):

@@ -81,3 +81,51 @@ def test_native_decode_in_dataset(tmp_path, rng):
     ds.use_native_decode = False
     img_pil, _, _ = ds[0]
     np.testing.assert_array_equal(np.asarray(img_native), np.asarray(img_pil))
+
+
+def test_native_palette_png_matches_pil(tmp_path):
+    """segdata_save_palette_png must produce P-mode PNGs whose class ids and
+    palette read back identical to the PIL path (the --saveres pseudo-label
+    format, reference utility.py:211-217)."""
+    from rnd_semantic_segmentation_tpu.data.native_loader import (
+        native_available, save_palette_png, save_palette_png_batch)
+    from rnd_semantic_segmentation_tpu.eval.palette import get_color_palette
+
+    if not native_available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(0)
+    pred = rng.randint(0, 19, (48, 72)).astype(np.uint8)
+    palette = list(rng.randint(0, 256, 57))
+
+    native_p = str(tmp_path / "native.png")
+    assert save_palette_png(native_p, pred, palette)
+    pil_p = str(tmp_path / "pil.png")
+    get_color_palette(pred, palette).save(pil_p)
+
+    a, b = Image.open(native_p), Image.open(pil_p)
+    assert a.mode == b.mode == "P"
+    np.testing.assert_array_equal(np.asarray(a), pred)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.getpalette()[:57] == b.getpalette()[:57]
+
+    preds = rng.randint(0, 19, (3, 48, 72)).astype(np.uint8)
+    paths = [str(tmp_path / f"b{i}.png") for i in range(3)]
+    ok = save_palette_png_batch(paths, preds, palette, num_threads=2)
+    assert ok.all()
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(np.asarray(Image.open(p)), preds[i])
+
+
+def test_save_pseudo_label_uses_native_or_pil(tmp_path):
+    """save_pseudo_label end-to-end: file lands in PSEUDO_DIR/inference/<ds>
+    and reads back as the argmax map regardless of which writer ran."""
+    from rnd_semantic_segmentation_tpu.eval.palette import save_pseudo_label
+
+    rng = np.random.RandomState(1)
+    pred = rng.randint(0, 19, (32, 40))
+    palette = list(rng.randint(0, 256, 57))
+    path = save_pseudo_label(pred, palette, str(tmp_path), "cityscapes_train",
+                             "frankfurt_000000_000294_leftImg8bit.png")
+    assert path.endswith(".png") and "inference/cityscapes_train" in path
+    np.testing.assert_array_equal(np.asarray(Image.open(path)), pred)
