@@ -131,6 +131,30 @@ def parse_trace(trace_dir, steps):
     }
 
 
+# measured per-model step anatomy (v5e, bf16, batch 16) — kept with the tool
+# so re-runs land next to the prior reading
+CONCLUSIONS = {
+    "deeplab_resnet101": (
+        "v5e @512 bf16 b16 (2026-08-16): 145.4 ms/step device time. "
+        "fusion(226 ops, fwd+dgrad convs) 32.5% + multiply_subtract_fusion"
+        "(108 ops, wgrad convs with the SGD momentum update fused as "
+        "epilogue; 8.2 ms each matches the 616-GFLOP 3x3x512x512 wgrad at "
+        "~105 TFLOPS) 24.9% + multiply_add_fusion 10.4% => ~70% of the step "
+        "is conv MXU work at the measured per-conv ceiling. The largest "
+        "non-conv groups — compare_select_fusion (ReLU backward masks on "
+        "OS8 activations, 14.9%) and add_add_fusion (residual-grad adds, "
+        "9.9%) — are HBM-bandwidth-bound elementwise on [16,64,64,1-2k] "
+        "bf16 tensors and run at/above naive roofline estimates. No "
+        "non-conv bubble >5% exists that XLA has not already fused."),
+    "gald_hardnet68": (
+        "v5e @512 bf16 b16 (2026-08-17): 111.5 ms/step device time. "
+        "fusion(444 ops, convs) 55% + convert_reduce_fusion(170 ops, convs "
+        "fused with the trainable-BN batch-stat f32 reductions — HarDNet "
+        "trains its BN like the reference) 29.9% + convolution_* 2% => "
+        "~87% of the step is conv MXU work; remaining groups are all <3%. "
+        "No bubble; at the per-conv ceiling like deeplab."),
+}
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="deeplab_resnet101")
@@ -145,25 +169,16 @@ def main():
                          args.steps, trace_dir)
     report = parse_trace(trace_dir, args.steps)
     report["config"] = vars(args)
-    report["conclusion"] = (
-        "v5e @512 bf16 b16 (2026-08-16): 145.4 ms/step device time. "
-        "fusion(226 ops, fwd+dgrad convs) 32.5% + multiply_subtract_fusion"
-        "(108 ops, wgrad convs with the SGD momentum update fused as "
-        "epilogue; 8.2 ms each matches the 616-GFLOP 3x3x512x512 wgrad at "
-        "~105 TFLOPS) 24.9% + multiply_add_fusion 10.4% => ~70% of the step "
-        "is conv MXU work at the measured per-conv ceiling. The largest "
-        "non-conv groups — compare_select_fusion (ReLU backward masks on "
-        "OS8 activations, 14.9%) and add_add_fusion (residual-grad adds, "
-        "9.9%) — are HBM-bandwidth-bound elementwise on [16,64,64,1-2k] "
-        "bf16 tensors and run at/above naive roofline estimates (0.45-0.65 "
-        "ms vs ~1 ms naive). No non-conv bubble >5% exists that XLA has "
-        "not already fused; per VERDICT r1 #10 the exploration stops here.")
+    report["conclusion"] = CONCLUSIONS.get(args.model, "")
     print(json.dumps({"per_step_ms": report["per_step_ms"]}))
     for g in report["group_share"][:12]:
         print(json.dumps(g))
-    with open(os.path.join(REPO, "BENCH_PROFILE.json"), "w") as f:
+    suffix = ("" if args.model == "deeplab_resnet101"
+              else "_" + re.sub(r"[^A-Za-z0-9]+", "_", args.model).upper())
+    out = os.path.join(REPO, f"BENCH_PROFILE{suffix}.json")
+    with open(out, "w") as f:
         json.dump(report, f, indent=1)
-    print(f"full report -> BENCH_PROFILE.json (trace in {trace_dir})")
+    print(f"full report -> {out} (trace in {trace_dir})")
 
 
 if __name__ == "__main__":

@@ -20,3 +20,8 @@ python train_distill.py -cfg configs/deeplabv2_r101_tgt_self_distill.yaml
 # evaluation
 python test.py -cfg configs/deeplabv2_r101_src_kvasir.yaml -c renders/kvasir.json \
     resume results/kvasir/Aspp-100
+
+# int8 serving evaluation (post-training quantization, calibrated on the
+# first TEST.QUANT_CALIB_BATCHES eval batches; see serve/quant.py)
+python test.py -cfg configs/deeplabv2_r101_src_kvasir.yaml -c renders/kvasir.json \
+    TEST.QUANT int8 resume results/kvasir/Aspp-100
