@@ -1,0 +1,281 @@
+"""Micro-batched HTTP inference server — the production serving surface.
+
+The reference stops at a single-image CLI (/root/reference/inference.py);
+a TPU chip at batch 1 is mostly idle, so real serving wants *micro-batching*:
+concurrent requests are gathered into one fixed-shape device batch (padding
+to ``max_batch`` keeps a single compiled XLA graph hot for every load
+level), run through the same jitted ``Tester`` probability head the offline
+eval uses — including the ``TEST.QUANT int8`` path — and fanned back out.
+
+Endpoints:
+  * ``POST /predict``  image bytes (JPEG/PNG) -> palette-PNG mask
+    (``?format=raw`` returns the HxW uint8 class-id PNG without a palette)
+  * ``GET  /healthz``  readiness (200 once the model is compiled+warm)
+  * ``GET  /stats``    request/batch counters incl. mean batch occupancy
+
+Design notes (TPU-first):
+  * one dispatcher thread owns the device; handler threads only enqueue and
+    wait — no lock contention around jax calls, requests pipeline naturally.
+  * the batch shape is static: requests are padded to ``max_batch`` and
+    results sliced, so there is exactly ONE compiled graph (first request
+    pays the compile; /healthz flips after warmup).
+  * preprocessing reuses the family's test ``Augmenter`` transform, so the
+    server is bit-identical to ``test.py`` eval for any family/checkpoint.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = ["InferenceServer", "serve_forever"]
+
+
+class _Pending:
+    __slots__ = ("image", "event", "pred", "error")
+
+    def __init__(self, image: np.ndarray):
+        self.image = image
+        self.event = threading.Event()
+        self.pred: Optional[np.ndarray] = None
+        self.error: Optional[str] = None
+
+
+class InferenceServer:
+    def __init__(self, cfg, render: dict, logger, max_batch: int = 8,
+                 batch_timeout_ms: float = 5.0):
+        from ..data.augment import Augmenter
+        from ..eval.tester import Tester
+
+        self.cfg = cfg
+        self.logger = logger
+        self.palette = list(render.get("palette", [])) or None
+        self.max_batch = int(max_batch)
+        self.batch_timeout = float(batch_timeout_ms) / 1e3
+        self.transform = Augmenter(cfg, mode="test",
+                                   is_source=False).build_transform()
+
+        h, w = self._shape()
+
+        class _ShapeLoader:
+            """One zero batch: Tester samples it to size its init template."""
+
+            def __iter__(self):
+                yield {"image": np.zeros((1, h, w, 3), np.float32),
+                       "label": np.zeros((1, h, w), np.int32),
+                       "name": ["warmup"]}
+
+            def __len__(self):
+                return 1
+
+        self.tester = Tester(cfg, _ShapeLoader(), logger)
+        self.tester._load_checkpoint()
+        # TEST.QUANT: activation scales are calibrated lazily on the FIRST
+        # real batch (the shape loader is zeros — useless for calibration)
+        self._qctx = None
+        self._needs_calib = cfg.TEST.QUANT != "none"
+
+        self._queue: List[_Pending] = []
+        self._cv = threading.Condition()
+        self._stop = threading.Event()
+        self.ready = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "batched_images": 0,
+                      "errors": 0}
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True)
+        self._thread.start()
+
+    # -- preprocessing -------------------------------------------------------
+    def preprocess(self, data: bytes) -> np.ndarray:
+        from PIL import Image
+
+        h, w = self._shape()
+        image = Image.open(io.BytesIO(data)).convert("RGB")
+        if image.size != (w, h):
+            # the serving geometry is fixed (one compiled graph); resize
+            # up front with the same bicubic the test Resize transform uses
+            image = image.resize((w, h), Image.BICUBIC)
+        dummy = Image.fromarray(np.zeros(image.size[::-1], np.float32))
+        img, _ = self.transform(image, dummy)
+        img = np.asarray(img, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        return img
+
+    # -- device loop ---------------------------------------------------------
+    def _warmup(self):
+        import jax.numpy as jnp
+
+        h, w = self._shape()
+        x = np.zeros((self.max_batch, h, w, 3), np.float32)
+        self._run(jnp.asarray(x))
+        self.ready.set()
+        self.logger.info(
+            f"server warm: batch {self.max_batch} @ {h}x{w}"
+            + (f", quant={self.cfg.TEST.QUANT}"
+               if self.cfg.TEST.QUANT != "none" else ""))
+
+    def _shape(self):
+        size = self.cfg.INPUT.INPUT_SIZE_TEST
+        return int(size[1]), int(size[0])  # (H, W) from (W, H) convention
+
+    def _calibrate(self, x):
+        from . import QuantConfig, calibrate_segmentor
+        from .quant import resolve_mode
+
+        mode = resolve_mode(self.cfg.TEST.QUANT)
+        self._qctx = calibrate_segmentor(
+            self.tester.segmentor, self.tester.variables, [{"image": x}],
+            config=QuantConfig(
+                mode=mode, calib_batches=1,
+                min_channels=self.cfg.TEST.QUANT_MIN_CHANNELS))
+        self._needs_calib = False
+        self.logger.info(
+            f"serving quantization calibrated on first batch: mode={mode}, "
+            f"convs={len(self._qctx.act_scales)}")
+
+    def _run(self, x):
+        import jax.numpy as jnp
+
+        from . import quant_scope
+
+        with quant_scope(self._qctx):
+            probs = self.tester._probs(self.tester.variables, x,
+                                       tuple(x.shape[1:3]))
+        return np.asarray(jnp.argmax(probs, axis=-1)).astype(np.uint8)
+
+    def _dispatch_loop(self):
+        try:
+            self._warmup()
+        except Exception as e:  # surface init failures via /healthz
+            self.logger.error(f"server warmup failed: {e}")
+            return
+        h, w = self._shape()
+        import jax.numpy as jnp
+
+        while not self._stop.is_set():
+            with self._cv:
+                while not self._queue and not self._stop.is_set():
+                    self._cv.wait(timeout=0.1)
+                if self._stop.is_set():
+                    return
+                deadline = time.monotonic() + self.batch_timeout
+                while (len(self._queue) < self.max_batch
+                       and time.monotonic() < deadline):
+                    self._cv.wait(timeout=max(deadline - time.monotonic(), 0))
+                batch = self._queue[:self.max_batch]
+                del self._queue[:len(batch)]
+            try:
+                x = np.zeros((self.max_batch, h, w, 3), np.float32)
+                for i, p in enumerate(batch):
+                    x[i] = p.image
+                if self._needs_calib:
+                    self._calibrate(jnp.asarray(x))
+                preds = self._run(jnp.asarray(x))
+                for i, p in enumerate(batch):
+                    p.pred = preds[i]
+            except Exception as e:
+                for p in batch:
+                    p.error = str(e)
+                self.stats["errors"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["batched_images"] += len(batch)
+            for p in batch:
+                p.event.set()
+
+    # -- public API ----------------------------------------------------------
+    def predict(self, data: bytes, timeout: float = 60.0) -> np.ndarray:
+        self.stats["requests"] += 1
+        img = self.preprocess(data)
+        h, w = self._shape()
+        if img.shape != (h, w, 3):
+            raise ValueError(f"transform produced {img.shape}, want {(h, w, 3)}")
+        pending = _Pending(img)
+        with self._cv:
+            self._queue.append(pending)
+            self._cv.notify()
+        if not pending.event.wait(timeout):
+            raise TimeoutError("prediction timed out")
+        if pending.error:
+            raise RuntimeError(pending.error)
+        return pending.pred
+
+    def encode_png(self, pred: np.ndarray, with_palette: bool = True) -> bytes:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        if with_palette and self.palette:
+            im = Image.fromarray(pred, mode="P")
+            im.putpalette(self.palette)
+        else:
+            im = Image.fromarray(pred, mode="L")
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    def shutdown(self):
+        self._stop.set()
+        with self._cv:
+            self._cv.notify_all()
+
+
+def _make_handler(server: InferenceServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through our logger
+            server.logger.info("http: " + fmt % args)
+
+        def _send(self, code, body: bytes, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                if server.ready.is_set():
+                    self._send(200, b'{"status": "ok"}')
+                else:
+                    self._send(503, b'{"status": "warming"}')
+            elif self.path.startswith("/stats"):
+                s = dict(server.stats)
+                s["mean_batch_occupancy"] = round(
+                    s["batched_images"] / max(s["batches"], 1), 3)
+                self._send(200, json.dumps(s).encode())
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            if not self.path.startswith("/predict"):
+                self._send(404, b'{"error": "not found"}')
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            try:
+                pred = server.predict(data)
+            except Exception as e:
+                server.stats["errors"] += 1
+                self._send(400, json.dumps({"error": str(e)[:300]}).encode())
+                return
+            raw = "format=raw" in (self.path.split("?", 1) + [""])[1]
+            self._send(200, server.encode_png(pred, with_palette=not raw),
+                       ctype="image/png")
+
+    return Handler
+
+
+def serve_forever(cfg, render, logger, host="127.0.0.1", port=8500,
+                  max_batch=8, batch_timeout_ms=5.0):
+    inf = InferenceServer(cfg, render, logger, max_batch=max_batch,
+                          batch_timeout_ms=batch_timeout_ms)
+    httpd = ThreadingHTTPServer((host, port), _make_handler(inf))
+    logger.info(f"serving {cfg.MODEL.NAME} on http://{host}:{port}")
+    try:
+        httpd.serve_forever()
+    finally:
+        inf.shutdown()

@@ -25,3 +25,7 @@ python test.py -cfg configs/deeplabv2_r101_src_kvasir.yaml -c renders/kvasir.jso
 # first TEST.QUANT_CALIB_BATCHES eval batches; see serve/quant.py)
 python test.py -cfg configs/deeplabv2_r101_src_kvasir.yaml -c renders/kvasir.json \
     TEST.QUANT int8 resume results/kvasir/Aspp-100
+
+# micro-batched HTTP inference server (TPU-native serving daemon)
+python serve.py -cfg configs/deeplabv2_r101_src_kvasir.yaml -c renders/kvasir.json \
+    --port 8500 TEST.QUANT int8 resume results/kvasir/Aspp-100

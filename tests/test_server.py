@@ -1,0 +1,130 @@
+"""Micro-batched HTTP inference server (serve/server.py).
+
+Covers: warmup/readiness, palette-PNG and raw predictions over real HTTP,
+deterministic results, concurrent requests sharing device batches, and the
+stats surface.  Runs the tiny synthetic-trained deeplab on CPU.
+"""
+
+import http.client
+import io
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from test_e2e import _cfg, _loader
+
+from rnd_semantic_segmentation_tpu.serve.server import (
+    InferenceServer, ThreadingHTTPServer, _make_handler)
+from rnd_semantic_segmentation_tpu.train.trainer import Trainer
+from rnd_semantic_segmentation_tpu.utils import setup_logger
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("server")
+    cfg = _cfg(tmp)
+    Trainer("serve_test", cfg, _loader(cfg), 0).train()
+    cfg.resume = "latest"
+    logger = setup_logger("serve_test", str(tmp), 0)
+    render = {"palette": list(np.arange(9) * 20)}
+    inf = InferenceServer(cfg, render, logger, max_batch=4,
+                          batch_timeout_ms=30.0)
+    assert inf.ready.wait(300), "server warmup timed out"
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(inf))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield inf, httpd.server_address[1]
+    httpd.shutdown()
+    inf.shutdown()
+
+
+def _jpeg_bytes(seed=0):
+    rng = np.random.RandomState(seed)
+    arr = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    return buf.getvalue()
+
+
+def _post(port, path, body):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", path, body=body,
+                 headers={"Content-Type": "application/octet-stream"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, resp.getheader("Content-Type"), data
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def test_healthz_and_predict_roundtrip(server):
+    inf, port = server
+    status, body = _get(port, "/healthz")
+    assert status == 200 and b"ok" in body
+
+    status, ctype, data = _post(port, "/predict", _jpeg_bytes())
+    assert status == 200 and ctype == "image/png"
+    im = Image.open(io.BytesIO(data))
+    assert im.mode == "P" and im.size == (32, 32)
+    pred = np.asarray(im)
+    assert pred.min() >= 0 and pred.max() < 3  # 3-class model
+
+    # deterministic: same bytes -> same mask
+    _, _, data2 = _post(port, "/predict", _jpeg_bytes())
+    np.testing.assert_array_equal(np.asarray(Image.open(io.BytesIO(data2))),
+                                  pred)
+
+    # raw flavor: L-mode class ids, same values
+    status, ctype, raw = _post(port, "/predict?format=raw", _jpeg_bytes())
+    assert status == 200
+    imr = Image.open(io.BytesIO(raw))
+    assert imr.mode == "L"
+    np.testing.assert_array_equal(np.asarray(imr), pred)
+
+
+def test_concurrent_requests_batched(server):
+    inf, port = server
+    results = [None] * 6
+    errors = []
+
+    def worker(i):
+        try:
+            status, _, data = _post(port, "/predict", _jpeg_bytes(seed=i))
+            assert status == 200
+            results[i] = np.asarray(Image.open(io.BytesIO(data)))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    before = dict(inf.stats)
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors
+    assert all(r is not None for r in results)
+
+    status, body = _get(port, "/stats")
+    assert status == 200
+    import json
+    stats = json.loads(body)
+    assert stats["requests"] >= before["requests"] + 6
+    assert stats["batches"] >= 1
+    assert stats["mean_batch_occupancy"] >= 1.0
+
+
+def test_bad_input_is_a_clean_400(server):
+    inf, port = server
+    status, ctype, data = _post(port, "/predict", b"this is not an image")
+    assert status == 400
+    assert b"error" in data
