@@ -128,3 +128,24 @@ def test_bad_input_is_a_clean_400(server):
     status, ctype, data = _post(port, "/predict", b"this is not an image")
     assert status == 400
     assert b"error" in data
+
+
+@pytest.mark.slow
+def test_server_pranet_family(tmp_path):
+    """The daemon must serve every family's probability head — PraNet's
+    sigmoid/min-max head differs most from deeplab's softmax."""
+    cfg = _cfg(tmp_path, name="pranet_res2net50", nc=2)
+    cfg.SOLVER.BASE_LR = 1e-4 * 8  # PraNet spec divides by 8
+    Trainer("serve_pranet", cfg, _loader(cfg), 0).train()
+    cfg.resume = "latest"
+    logger = setup_logger("serve_pranet", str(tmp_path), 0)
+    inf = InferenceServer(cfg, {}, logger, max_batch=2, batch_timeout_ms=5.0)
+    try:
+        assert inf.ready.wait(300)
+        pred = inf.predict(_jpeg_bytes(seed=7), timeout=120)
+        assert pred.shape == (32, 32)
+        assert set(np.unique(pred)) <= {0, 1}
+        png = inf.encode_png(pred)  # no palette -> L mode
+        assert Image.open(io.BytesIO(png)).mode == "L"
+    finally:
+        inf.shutdown()
