@@ -29,3 +29,7 @@ python test.py -cfg configs/deeplabv2_r101_src_kvasir.yaml -c renders/kvasir.jso
 # micro-batched HTTP inference server (TPU-native serving daemon)
 python serve.py -cfg configs/deeplabv2_r101_src_kvasir.yaml -c renders/kvasir.json \
     --port 8500 TEST.QUANT int8 resume results/kvasir/Aspp-100
+
+# StableHLO deployment export (self-contained eval artifact)
+python export_model.py -cfg configs/deeplabv2_r101_src_kvasir.yaml \
+    -o exported/kvasir_deeplab --batch 8 resume results/kvasir/Aspp-100
