@@ -153,6 +153,20 @@ CONCLUSIONS = {
         "trains its BN like the reference) 29.9% + convolution_* 2% => "
         "~87% of the step is conv MXU work; remaining groups are all <3%. "
         "No bubble; at the per-conv ceiling like deeplab."),
+    "pranet_res2net50": (
+        "v5e @352 bf16 b16 (2026-08-17): 34.0 ms/step device time. "
+        "fusion 42.8% + convert_reduce_fusion (convs + trainable-BN stats) "
+        "39.1% => ~82% conv MXU work. copy-done 8.8% (4618 small copies — "
+        "Res2Net's per-Bottle2neck scale-split/concat structure; inherent "
+        "to the architecture, not worth restructuring for 3 ms). No other "
+        "group >2%."),
+    "attn_efficientnet-b2": (
+        "v5e @512 bf16 b16 (2026-08-17): 104.1 ms/step device time. "
+        "fusion 43.4% + convert_reduce_fusion 29.7% + "
+        "multiply_subtract_fusion (wgrads) 6.6% + convolution_* 2.6% => "
+        "~82% conv MXU work. copy 7.4% (layout copies around depthwise/"
+        "ConvTranspose) and reverse 2.6% (ConvTranspose kernel flips) are "
+        "the only non-conv groups >2% — both inherent, both small."),
 }
 
 def main():
