@@ -34,7 +34,12 @@ from typing import List, Optional
 
 import numpy as np
 
-__all__ = ["InferenceServer", "serve_forever"]
+__all__ = ["InferenceServer", "Overloaded", "serve_forever"]
+
+
+class Overloaded(RuntimeError):
+    """Queue full — the HTTP layer maps this to 429 so load balancers can
+    back off instead of piling requests onto an already-saturated chip."""
 
 
 class _Pending:
@@ -49,7 +54,7 @@ class _Pending:
 
 class InferenceServer:
     def __init__(self, cfg, render: dict, logger, max_batch: int = 8,
-                 batch_timeout_ms: float = 5.0):
+                 batch_timeout_ms: float = 5.0, max_queue: int = 0):
         from ..data.augment import Augmenter
         from ..eval.tester import Tester
 
@@ -58,6 +63,9 @@ class InferenceServer:
         self.palette = list(render.get("palette", [])) or None
         self.max_batch = int(max_batch)
         self.batch_timeout = float(batch_timeout_ms) / 1e3
+        # backpressure: reject beyond this many queued requests (default 8
+        # full batches — bounded latency instead of an unbounded pile-up)
+        self.max_queue = int(max_queue) or 8 * self.max_batch
         self.transform = Augmenter(cfg, mode="test",
                                    is_source=False).build_transform()
 
@@ -86,7 +94,7 @@ class InferenceServer:
         self._stop = threading.Event()
         self.ready = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "batched_images": 0,
-                      "errors": 0}
+                      "errors": 0, "rejected": 0}
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
         self._thread.start()
@@ -213,6 +221,10 @@ class InferenceServer:
             raise ValueError(f"transform produced {img.shape}, want {(h, w, 3)}")
         pending = _Pending(img)
         with self._cv:
+            if len(self._queue) >= self.max_queue:
+                self.stats["rejected"] += 1
+                raise Overloaded(
+                    f"queue full ({self.max_queue} pending)")
             self._queue.append(pending)
             self._cv.notify()
         if not pending.event.wait(timeout):
@@ -273,6 +285,15 @@ def _make_handler(server: InferenceServer):
             data = self.rfile.read(length)
             try:
                 pred = server.predict(data)
+            except Overloaded as e:
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except Exception as e:
                 server.stats["errors"] += 1
                 self._send(400, json.dumps({"error": str(e)[:300]}).encode())

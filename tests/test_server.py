@@ -149,3 +149,24 @@ def test_server_pranet_family(tmp_path):
         assert Image.open(io.BytesIO(png)).mode == "L"
     finally:
         inf.shutdown()
+
+
+def test_backpressure_rejects_when_queue_full(server):
+    """predict() must raise Overloaded (HTTP 429) instead of queueing
+    unboundedly once max_queue requests are pending."""
+    from rnd_semantic_segmentation_tpu.serve.server import Overloaded
+
+    inf, port = server
+    saved = inf.max_queue
+    inf.max_queue = 0  # every enqueue now sees a "full" queue
+    try:
+        with pytest.raises(Overloaded):
+            inf.predict(_jpeg_bytes(), timeout=5)
+        assert inf.stats["rejected"] >= 1
+        status, _, data = _post(port, "/predict", _jpeg_bytes())
+        assert status == 429 and b"queue full" in data
+    finally:
+        inf.max_queue = saved
+    # back to normal service after restoring
+    status, _, _ = _post(port, "/predict", _jpeg_bytes())
+    assert status == 200
