@@ -118,20 +118,32 @@ def bench_host_decode(n=64, size=(512, 512)):
 
 
 def main():
+    import argparse
     import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default=None,
+                    help="run one family only (substring of the model name, "
+                         "e.g. 'gald'); skips eval/host-decode extras and "
+                         "does not rewrite BENCH_FAMILIES.json")
+    args = ap.parse_args()
     rows = []
 
     def emit(row):
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    for name, nc, size, batch in CASES:
+    cases = [c for c in CASES
+             if args.family is None or args.family in c[0]]
+    for name, nc, size, batch in cases:
         try:
             ips = bench(name, nc, size, batch)
             emit({"model": name, "size": size, "batch": batch,
                   "train_images_per_sec": round(ips, 2)})
         except Exception as e:  # keep going; per-family OOM etc.
             emit({"model": name, "error": f"{type(e).__name__}: {e}"[:200]})
+    if args.family is not None:
+        return  # single-family probe: keep the full artifact untouched
     try:
         ips = bench_eval("deeplab_resnet101", 19, 512, 16)
         emit({"model": "deeplab_resnet101", "mode": "eval",
