@@ -35,8 +35,8 @@ PYTORCH_GPU_ANCHOR = 20.0  # images/sec/chip; measurement-grounded, see
                            # docstring + BENCH_TORCH_REF.json
 BATCH = 16
 SIZE = 512
-WARMUP = 3
-ITERS = 10
+WARMUP = 5
+ITERS = 20
 
 
 def main():
