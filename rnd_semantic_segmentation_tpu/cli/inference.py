@@ -38,12 +38,10 @@ def build_predictor(cfg, logger):
     state = {}
 
     def _batch(image_path: str):
+        from ..data.loader import preprocess_eval_image
+
         image = Image.open(image_path).convert("RGB")
-        dummy_label = Image.fromarray(np.zeros(image.size[::-1], np.float32))
-        img, _ = transform(image, dummy_label)
-        img = np.asarray(img, np.float32)
-        if img.max() > 1.5:
-            img = img / 255.0
+        img = preprocess_eval_image(image, transform)
         return {"image": img[None],
                 "label": np.zeros(img.shape[:2], np.int32)[None],
                 "name": [os.path.basename(image_path)]}

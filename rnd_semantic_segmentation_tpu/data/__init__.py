@@ -9,4 +9,5 @@ from .datasets import (
     KvasirFoldDataset,
     SyntheticDataset,
 )
-from .loader import DataLoader, build_collate_fn, default_collate, device_prefetch
+from .loader import (DataLoader, build_collate_fn, default_collate,
+                     device_prefetch, preprocess_eval_image)

@@ -21,6 +21,25 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
+def preprocess_eval_image(image, transform):
+    """PIL image -> model-input float32 HWC via a test transform, applying
+    EXACTLY the collate rescale rule: uint8 outputs (identity pipelines)
+    are divided by 255, float outputs (normalizing pipelines like aspp's
+    Normalize) pass through.  A value-based heuristic (``max() > 1.5``)
+    is wrong here — normalized outputs legitimately exceed 1.5 for bright
+    pixels and would get destroyed by a second /255."""
+    import numpy as np
+    from PIL import Image as _PILImage
+
+    dummy = _PILImage.fromarray(
+        np.zeros(image.size[::-1], np.float32))
+    img, _ = transform(image, dummy)
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    return img.astype(np.float32)
+
+
 def default_collate(samples):
     images, labels, names = zip(*samples)
     images = np.stack([np.asarray(im) for im in images], axis=0)

@@ -127,6 +127,14 @@ class Tester:
     # -- probability head ------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def _probs(self, variables, x, label_size):
+        return self._probs_impl(variables, x, label_size)
+
+    def _probs_impl(self, variables, x, label_size):
+        """Unjitted head — callers that need a FRESH jit cache (e.g. the
+        serving daemon after quant calibration: a cache populated without
+        the quant scope would silently keep serving the f32 graph) wrap
+        this themselves instead of sharing ``_probs``'s per-instance
+        cache."""
         params = {n: dict(v)["params"] for n, v in variables.items()}
         stats = {n: {k: c for k, c in dict(v).items() if k != "params"}
                  for n, v in variables.items()}

@@ -68,7 +68,10 @@ def export_eval(tester, batch_size: int, out_path: str,
         "input": [batch_size, int(h), int(w), 3],
         "input_dtype": "float32",
         "output": "argmax class ids, int32 [N,H,W]",
-        "quant": cfg.TEST.QUANT if quant_ctx is not None else "none",
+        # the RESOLVED mode — cfg may say int8 while the backend fell back
+        # to the f32 'fake' path; the artifact must be labeled by the graph
+        # it actually contains
+        "quant": quant_ctx.mode if quant_ctx is not None else "none",
         "platforms": list(exported.platforms),
         "bytes": len(blob),
     }

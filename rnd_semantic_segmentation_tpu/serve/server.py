@@ -88,6 +88,7 @@ class InferenceServer:
         # real batch (the shape loader is zeros — useless for calibration)
         self._qctx = None
         self._needs_calib = cfg.TEST.QUANT != "none"
+        self._fwd = self._fresh_fwd()
 
         self._queue: List[_Pending] = []
         self._cv = threading.Condition()
@@ -103,18 +104,15 @@ class InferenceServer:
     def preprocess(self, data: bytes) -> np.ndarray:
         from PIL import Image
 
+        from ..data.loader import preprocess_eval_image
+
         h, w = self._shape()
         image = Image.open(io.BytesIO(data)).convert("RGB")
         if image.size != (w, h):
             # the serving geometry is fixed (one compiled graph); resize
             # up front with the same bicubic the test Resize transform uses
             image = image.resize((w, h), Image.BICUBIC)
-        dummy = Image.fromarray(np.zeros(image.size[::-1], np.float32))
-        img, _ = self.transform(image, dummy)
-        img = np.asarray(img, np.float32)
-        if img.max() > 1.5:
-            img = img / 255.0
-        return img
+        return preprocess_eval_image(image, self.transform)
 
     # -- device loop ---------------------------------------------------------
     def _warmup(self):
@@ -133,6 +131,19 @@ class InferenceServer:
         size = self.cfg.INPUT.INPUT_SIZE_TEST
         return int(size[1]), int(size[0])  # (H, W) from (W, H) convention
 
+    def _fresh_fwd(self):
+        """A freshly-jitted probability head.  Conv2d consults the quant
+        context at TRACE time, so after (re)calibration the old jit cache —
+        traced without the scope — would silently keep serving the f32
+        graph; a fresh wrapper over the unjitted ``_probs_impl`` guarantees
+        the first call under the new scope traces the quantized graph."""
+        import functools
+
+        import jax
+
+        return jax.jit(functools.partial(type(self.tester)._probs_impl,
+                                         self.tester), static_argnums=(2,))
+
     def _calibrate(self, x):
         from . import QuantConfig, calibrate_segmentor
         from .quant import resolve_mode
@@ -144,9 +155,10 @@ class InferenceServer:
                 mode=mode, calib_batches=1,
                 min_channels=self.cfg.TEST.QUANT_MIN_CHANNELS))
         self._needs_calib = False
+        self._fwd = self._fresh_fwd()  # drop the unquantized trace cache
         self.logger.info(
             f"serving quantization calibrated on first batch: mode={mode}, "
-            f"convs={len(self._qctx.act_scales)}")
+            f"convs={len(self._qctx.act_scales)} (fresh compile follows)")
 
     def _run(self, x, n: Optional[int] = None):
         """Returns the first ``n`` argmax maps (default: all rows).
@@ -165,8 +177,8 @@ class InferenceServer:
             self._postproc = jax.jit(
                 lambda p: jnp.argmax(p, axis=-1).astype(jnp.uint8))
         with quant_scope(self._qctx):
-            probs = self.tester._probs(self.tester.variables, x,
-                                       tuple(x.shape[1:3]))
+            probs = self._fwd(self.tester.variables, x,
+                              tuple(x.shape[1:3]))
         preds = self._postproc(probs)
         n = preds.shape[0] if n is None else n
         # per-row static slices: one cached gather per index, k pulls of
@@ -205,8 +217,7 @@ class InferenceServer:
                     p.pred = preds[i]
             except Exception as e:
                 for p in batch:
-                    p.error = str(e)
-                self.stats["errors"] += len(batch)
+                    p.error = str(e)  # counted once per request in predict()
             self.stats["batches"] += 1
             self.stats["batched_images"] += len(batch)
             for p in batch:
@@ -215,7 +226,11 @@ class InferenceServer:
     # -- public API ----------------------------------------------------------
     def predict(self, data: bytes, timeout: float = 60.0) -> np.ndarray:
         self.stats["requests"] += 1
-        img = self.preprocess(data)
+        try:
+            img = self.preprocess(data)
+        except Exception:
+            self.stats["errors"] += 1
+            raise
         h, w = self._shape()
         if img.shape != (h, w, 3):
             raise ValueError(f"transform produced {img.shape}, want {(h, w, 3)}")
@@ -228,8 +243,10 @@ class InferenceServer:
             self._queue.append(pending)
             self._cv.notify()
         if not pending.event.wait(timeout):
+            self.stats["errors"] += 1
             raise TimeoutError("prediction timed out")
         if pending.error:
+            self.stats["errors"] += 1
             raise RuntimeError(pending.error)
         return pending.pred
 
@@ -294,8 +311,7 @@ def _make_handler(server: InferenceServer):
                 self.end_headers()
                 self.wfile.write(body)
                 return
-            except Exception as e:
-                server.stats["errors"] += 1
+            except Exception as e:  # predict() already counted the error
                 self._send(400, json.dumps({"error": str(e)[:300]}).encode())
                 return
             raw = "format=raw" in (self.path.split("?", 1) + [""])[1]

@@ -170,3 +170,42 @@ def test_backpressure_rejects_when_queue_full(server):
     # back to normal service after restoring
     status, _, _ = _post(port, "/predict", _jpeg_bytes())
     assert status == 200
+
+
+def test_daemon_serves_quantized_graph_not_stale_cache(tmp_path):
+    """Regression: the warmup trace (no quant scope) must NOT be reused
+    after calibration — Conv2d consults the quant context at trace time, so
+    a stale jit cache would silently serve the f32 graph while logging
+    'calibrated'.  The daemon rebuilds a fresh jit after calibration; this
+    asserts the served output actually differs from the pure-f32 head."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rnd_semantic_segmentation_tpu.serve import quant_scope
+
+    cfg = _cfg(tmp_path)
+    Trainer("serve_quant", cfg, _loader(cfg), 0).train()
+    cfg.resume = "latest"
+    cfg.TEST.QUANT = "fake"  # deterministic on every backend
+    cfg.TEST.QUANT_MIN_CHANNELS = 0
+    logger = setup_logger("serve_quant", str(tmp_path), 0)
+    inf = InferenceServer(cfg, {}, logger, max_batch=2, batch_timeout_ms=5.0)
+    try:
+        assert inf.ready.wait(300)
+        inf.predict(_jpeg_bytes(seed=3), timeout=120)  # triggers calibration
+        assert inf._qctx is not None and inf._qctx.act_scales
+
+        rng = np.random.RandomState(5)
+        xb = jnp.asarray(rng.rand(inf.max_batch, 32, 32, 3)
+                         .astype(np.float32))
+        with quant_scope(inf._qctx):
+            p_served = np.asarray(inf._fwd(inf.tester.variables, xb, (32, 32)))
+        p_f32 = np.asarray(jax.jit(
+            functools.partial(type(inf.tester)._probs_impl, inf.tester),
+            static_argnums=(2,))(inf.tester.variables, xb, (32, 32)))
+        assert not np.allclose(p_served, p_f32, atol=1e-6), \
+            "served graph is numerically identical to f32 — quant not applied"
+    finally:
+        inf.shutdown()
