@@ -290,6 +290,11 @@ def _make_handler(server: InferenceServer):
                 s = dict(server.stats)
                 s["mean_batch_occupancy"] = round(
                     s["batched_images"] / max(s["batches"], 1), 3)
+                s["ready"] = server.ready.is_set()
+                s["model"] = server.cfg.MODEL.NAME
+                s["quant"] = (server._qctx.mode if server._qctx is not None
+                              else ("pending-calibration"
+                                    if server._needs_calib else "none"))
                 self._send(200, json.dumps(s).encode())
             else:
                 self._send(404, b'{"error": "not found"}')
