@@ -48,7 +48,11 @@ def export_eval(tester, batch_size: int, out_path: str,
 
     def fn(image):
         with quant_scope(quant_ctx):  # entered at trace time
-            probs = tester._probs(variables, image, (int(h), int(w)))
+            # trace the UNJITTED head: tester._probs's per-instance jit
+            # cache may hold a trace made without the quant scope (e.g.
+            # tester.test() ran first), and reusing it would export the f32
+            # graph mislabeled as quantized
+            probs = tester._probs_impl(variables, image, (int(h), int(w)))
         return jnp.argmax(probs, axis=-1).astype(jnp.int32)
 
     spec = jax.ShapeDtypeStruct((batch_size, int(h), int(w), 3), jnp.float32)

@@ -71,3 +71,42 @@ def test_export_with_quantization(trained, tmp_path):
         assert pred.max() < cfg.MODEL.NUM_CLASSES
     finally:
         cfg.TEST.QUANT = "none"
+
+
+def test_export_quant_not_stale_after_prior_f32_use(trained, tmp_path):
+    """Regression (same class as the serving-daemon staleness): exporting
+    with a quant context AFTER the tester's jitted head was already used
+    without one must still trace the quantized graph — the artifact output
+    has to differ numerically from the f32 head."""
+    import jax.numpy as jnp
+
+    cfg, logger, _ = trained
+    tester = _tester(cfg, logger)
+    rng = np.random.RandomState(2)
+    x = rng.rand(1, 32, 32, 3).astype(np.float32)
+    # populate the shared jit cache WITHOUT a quant scope (f32 trace)
+    p_f32 = np.asarray(tester._probs(tester.variables, jnp.asarray(x),
+                                     (32, 32)))
+
+    cfg.TEST.QUANT = "fake"
+    cfg.TEST.QUANT_MIN_CHANNELS = 0
+    try:
+        qctx = tester.make_quant_context()
+        out = str(tmp_path / "model_stale")
+        export_eval(tester, batch_size=1, out_path=out, quant_ctx=qctx,
+                    logger=logger)
+        call, meta = load_exported(out)
+        assert meta["quant"] == "fake"
+        pred_q = call(x)
+        pred_f32 = np.argmax(p_f32, axis=-1)
+        # probabilities must differ (argmax may or may not); compare the
+        # exported int map against a fake-quant direct evaluation instead
+        from rnd_semantic_segmentation_tpu.serve import quant_scope
+        with quant_scope(qctx):
+            p_q = np.asarray(tester._probs_impl(tester.variables,
+                                                jnp.asarray(x), (32, 32)))
+        assert not np.allclose(p_q, p_f32, atol=1e-6)
+        np.testing.assert_array_equal(pred_q, np.argmax(p_q, axis=-1))
+    finally:
+        cfg.TEST.QUANT = "none"
+        cfg.TEST.QUANT_MIN_CHANNELS = 64
