@@ -38,6 +38,25 @@ SIZE = 512
 WARMUP = 5
 ITERS = 20
 
+# peak bf16 matmul throughput for MFU: v5e = 197 TFLOPS/chip.  Override with
+# SEGTPU_PEAK_TFLOPS when benching other generations (v4=275, v5p=459).
+import os
+PEAK_FLOPS = float(os.environ.get("SEGTPU_PEAK_TFLOPS", "197")) * 1e12
+
+
+def step_mfu(step, args, step_time_s: float) -> float:
+    """Model FLOPs utilization: XLA cost-model FLOPs of the compiled step
+    (utils/profiling.py cal_params — the thop replacement, SURVEY §2.0) over
+    measured step time and chip peak."""
+    try:
+        analysis = step.lower(*args).compile().cost_analysis() or {}
+        flops = float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
+    if not flops or step_time_s <= 0:
+        return 0.0
+    return flops / step_time_s / PEAK_FLOPS
+
 
 def main():
     cfg = get_default_cfg()
@@ -72,11 +91,13 @@ def main():
     dt = time.perf_counter() - t0
 
     images_per_sec = BATCH * ITERS / dt
+    mfu = step_mfu(step, (state, batch, jnp.float32(0)), dt / ITERS)
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip_deeplabv2_r101_512",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / PYTORCH_GPU_ANCHOR, 3),
+        "mfu": round(mfu, 4),
     }))
 
 

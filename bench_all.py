@@ -55,7 +55,9 @@ def bench(name, nc, size, batch, iters=8, warmup=2):
         state, m = step(state, batch_d, jnp.float32(0))
     float(m["loss"])
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    from bench import step_mfu
+    mfu = step_mfu(step, (state, batch_d, jnp.float32(0)), dt / iters)
+    return batch * iters / dt, mfu
 
 
 def bench_eval(name, nc, size, batch, iters=10, warmup=2):
@@ -137,9 +139,10 @@ def main():
              if args.family is None or args.family in c[0]]
     for name, nc, size, batch in cases:
         try:
-            ips = bench(name, nc, size, batch)
+            ips, mfu = bench(name, nc, size, batch)
             emit({"model": name, "size": size, "batch": batch,
-                  "train_images_per_sec": round(ips, 2)})
+                  "train_images_per_sec": round(ips, 2),
+                  "mfu": round(mfu, 4)})
         except Exception as e:  # keep going; per-family OOM etc.
             emit({"model": name, "error": f"{type(e).__name__}: {e}"[:200]})
     if args.family is not None:

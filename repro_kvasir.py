@@ -1,25 +1,36 @@
 #!/usr/bin/env python
-"""One-command Kvasir-SEG accuracy repro kit (VERDICT r1 missing #2 / next #9).
+"""One-command accuracy repro kit (VERDICT r1 missing #2, r2 next #8).
 
 No dataset ships in this environment, so BASELINE.md's accuracy row
 ("mIoU/Dice parity on Kvasir-SEG") cannot be measured yet.  The moment data
-access appears, this script is the single run that produces the numbers:
+access appears, this script is the single run that produces the full parity
+table:
 
     python repro_kvasir.py --data-root /path/to/datasets
 
-trains + evals both acceptance pipelines and prints each metric next to its
-paper anchor:
+It covers every family and regime the reference trains (README run matrix):
 
-  * deeplabv2_r101_src_kvasir  -> mIoU   (FADA-style source-only; anchor:
-    parity with the reference's own training, no published number exists)
-  * pranet_src_polyp           -> mDice  (PraNet paper ~0.898 on Kvasir-SEG)
+  * deeplabv2_r101_src_kvasir  src      -> mIoU   (kvasir)
+  * pranet_src_polyp           src      -> mDice  (kvasir; PraNet paper ~0.898)
+  * attn_src_kvasir            src      -> mDice  (kvasir)
+  * gald_src                   src      -> mIoU   (cityscapes)
+  * deeplabv2_r101_adv_kvasir_bli  FADA -> mIoU   (kvasir + BLI)
+  * pranet_adv_polyp_bli       FADA     -> mDice  (kvasir + BLI)
+  * attn_adv_kvasir            FADA     -> mDice  (kvasir)
+  * deeplabv2_r101_tgt_self_distill  two-stage distill -> mIoU (cityscapes,
+    chained: adv ckpt -> test.py --saveres pseudo-labels -> distill train,
+    reference run.sh:9 recipe)
 
-``--synthetic`` smoke-tests the full path (train -> eval -> metric extraction)
-on the built-in synthetic dataset with a tiny model so the kit itself stays
-verified in CI (tests/test_repro_kit.py).
+Pipelines whose data layout is absent under --data-root are skipped with a
+note, so one command always produces the maximal table for the data on disk.
+
+``--synthetic`` smoke-tests the kit end-to-end (train -> eval -> metric
+extraction) on the built-in synthetic dataset with a tiny model so the kit
+itself stays verified in CI (tests/test_repro_kit.py).
 
 Expected dataset layout under --data-root (cfg.DATASETS.DATASET_DIR,
-reference datasets/build.py): kvasir/images/*.jpg + kvasir/masks/*.jpg
+reference datasets/build.py): kvasir/images/*.jpg + kvasir/masks/*.jpg,
+BLI/{train,test}, cityscapes/leftImg8bit + gtFine.
 """
 
 from __future__ import annotations
@@ -32,15 +43,43 @@ import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-# (name, config, train_cli, metric_key, anchor, anchor_source)
+# (name, config, train_cli, family, render, metric_key, anchor,
+#  anchor_source, required_data_subdirs)
 PIPELINES = [
     ("deeplabv2_r101_src_kvasir", "configs/deeplabv2_r101_src_kvasir.yaml",
-     "train_src.py", "macro_miou", None,
-     "no published number; reference trains this config (README run matrix)"),
+     "train_src.py", "deeplab", "renders/kvasir.json", "macro_miou", None,
+     "no published number; reference trains this config (README run matrix)",
+     ["kvasir"]),
     ("pranet_src_polyp", "configs/pranet_src_polyp.yaml",
-     "train_src.py", "macro_mdice", 0.898,
-     "PraNet paper, Kvasir-SEG mDice"),
+     "train_src.py", "pranet", "renders/kvasir.json", "macro_mdice", 0.898,
+     "PraNet paper, Kvasir-SEG mDice", ["kvasir"]),
+    ("attn_src_kvasir", "configs/attn_src_kvasir.yaml",
+     "train_src.py", "attn", "renders/kvasir.json", "macro_mdice", None,
+     "no published number; reference trains this config", ["kvasir"]),
+    ("gald_src", "configs/gald_src.yaml",
+     "train_src.py", "gald", "renders/cityscapes.json", "macro_miou", None,
+     "no published number; reference trains this config", ["cityscapes"]),
+    ("deeplabv2_r101_adv_kvasir_bli",
+     "configs/deeplabv2_r101_adv_kvasir_bli.yaml",
+     "train_adv.py", "deeplab", "renders/kvasir.json", "macro_miou", None,
+     "FADA kvasir->BLI adaptation (reference train_adv.py)",
+     ["kvasir", "BLI"]),
+    ("pranet_adv_polyp_bli", "configs/pranet_adv_polyp_bli.yaml",
+     "train_adv.py", "pranet", "renders/kvasir.json", "macro_mdice", None,
+     "PraNet FADA (undefined in the reference; this framework defines it)",
+     ["kvasir", "BLI"]),
+    ("attn_adv_kvasir", "configs/attn_adv_kvasir.yaml",
+     "train_adv.py", "attn", "renders/kvasir.json", "macro_mdice", None,
+     "attn FADA (reference train_adv.py)", ["kvasir"]),
 ]
+
+# two-stage self-distill (cityscapes): depends on the deeplab adv checkpoint
+DISTILL = ("deeplabv2_r101_tgt_self_distill",
+           "configs/deeplabv2_r101_tgt_self_distill.yaml",
+           "configs/deeplabv2_r101_adv.yaml", "deeplab",
+           "renders/cityscapes.json", "macro_miou", None,
+           "FADA paper ~49.2 mIoU GTA5->Cityscapes is the upstream context",
+           ["cityscapes", "gta5"])
 
 SYNTHETIC_OVERRIDES = [
     "MODEL.NAME", "deeplab_resnet18", "MODEL.NUM_CLASSES", "3",
@@ -73,44 +112,99 @@ def summary_metrics(out_dir: str, family: str) -> dict:
     return {"macro_miou": float(iou.mean()), "macro_mdice": float(dice.mean())}
 
 
+def data_present(data_root: str, subdirs) -> bool:
+    return all(os.path.isdir(os.path.join(data_root, d)) for d in subdirs)
+
+
+def run_pipeline(name, config, train_cli, family, render, metric_key,
+                 anchor, src, args, env, results):
+    out_dir = os.path.join(args.out, name)
+    overrides = ["OUTPUT_DIR", out_dir,
+                 "DATASETS.DATASET_DIR", args.data_root]
+    if args.epochs:
+        overrides += ["SOLVER.EPOCHS", str(args.epochs)]
+    if args.synthetic:
+        overrides += SYNTHETIC_OVERRIDES
+        metric_key = "macro_miou"
+        family = "deeplab"
+
+    run([sys.executable, train_cli, "-cfg", config] + overrides, env)
+    run([sys.executable, "test.py", "-cfg", config, "-c", render]
+        + overrides + ["resume", "latest"], env)
+
+    m = summary_metrics(out_dir, family)
+    results[name] = {**m, "anchor": anchor, "anchor_source": src,
+                     "metric": metric_key, "value": m[metric_key]}
+    print(json.dumps({"pipeline": name, metric_key: round(m[metric_key], 4),
+                      "anchor": anchor}), flush=True)
+
+
+def run_distill(args, env, results):
+    """run.sh:9 recipe: adv train -> --saveres pseudo labels -> distill."""
+    name, cfg_distill, cfg_adv, family, render, metric_key, anchor, src, _ = DISTILL
+    adv_out = os.path.join(args.out, "distill_stage_adv")
+    pseudo = os.path.join(args.out, "distill_pseudo")
+    overrides = ["DATASETS.DATASET_DIR", args.data_root]
+    if args.epochs:
+        overrides += ["SOLVER.EPOCHS", str(args.epochs)]
+    # stage 0: adversarial training provides the pseudo-label model
+    run([sys.executable, "train_adv.py", "-cfg", cfg_adv]
+        + overrides + ["OUTPUT_DIR", adv_out], env)
+    # stage A: export pseudo labels over the target train split
+    run([sys.executable, "test.py", "-cfg", cfg_adv, "-c", render, "--saveres"]
+        + overrides + ["OUTPUT_DIR", adv_out, "PSEUDO_DIR", pseudo,
+                       "DATASETS.TEST", "cityscapes_train", "resume", "latest"],
+        env)
+    # stage B: distill training on the pseudo labels + final eval
+    out_dir = os.path.join(args.out, name)
+    run([sys.executable, "train_src.py", "-cfg", cfg_distill]
+        + overrides + ["OUTPUT_DIR", out_dir, "PSEUDO_DIR", pseudo], env)
+    run([sys.executable, "test.py", "-cfg", cfg_distill, "-c", render]
+        + overrides + ["OUTPUT_DIR", out_dir, "resume", "latest"], env)
+    m = summary_metrics(out_dir, family)
+    results[name] = {**m, "anchor": anchor, "anchor_source": src,
+                     "metric": metric_key, "value": m[metric_key]}
+    print(json.dumps({"pipeline": name, metric_key: round(m[metric_key], 4),
+                      "anchor": anchor}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", default="datasets",
-                    help="directory containing kvasir/ (reference layout)")
+                    help="directory containing kvasir/ BLI/ cityscapes/ ... "
+                         "(reference layout)")
     ap.add_argument("--out", default="runs/kvasir_repro")
     ap.add_argument("--synthetic", action="store_true",
                     help="smoke the kit on the synthetic dataset (no data needed)")
     ap.add_argument("--epochs", type=int, default=0,
                     help="override SOLVER.EPOCHS (0 = config value)")
+    ap.add_argument("--only", default=None,
+                    help="run pipelines whose name contains this substring")
     args = ap.parse_args()
 
     env = dict(os.environ)
     results = {}
-    for name, config, train_cli, metric_key, anchor, src in PIPELINES:
-        out_dir = os.path.join(args.out, name)
-        overrides = ["OUTPUT_DIR", out_dir,
-                     "DATASETS.DATASET_DIR", args.data_root]
-        if args.epochs:
-            overrides += ["SOLVER.EPOCHS", str(args.epochs)]
-        if args.synthetic:
-            overrides += SYNTHETIC_OVERRIDES
-            metric_key = "macro_miou"
-
-        run([sys.executable, train_cli, "-cfg", config] + overrides, env)
-        run([sys.executable, "test.py", "-cfg", config, "-c",
-             "renders/kvasir.json"] + overrides + ["resume", "latest"], env)
-
-        family = "deeplab" if args.synthetic or "deeplab" in name else \
-                 ("pranet" if "pranet" in name else "deeplab")
-        m = summary_metrics(out_dir, family)
-        results[name] = {**m, "anchor": anchor, "anchor_source": src,
-                         "metric": metric_key, "value": m[metric_key]}
-        line = {"pipeline": name, metric_key: round(m[metric_key], 4),
-                "anchor": anchor}
-        print(json.dumps(line), flush=True)
+    for (name, config, train_cli, family, render, metric_key, anchor, src,
+         requires) in PIPELINES:
+        if args.only and args.only not in name:
+            continue
+        if not args.synthetic and not data_present(args.data_root, requires):
+            print(json.dumps({"pipeline": name, "skipped":
+                              f"missing data: {requires}"}), flush=True)
+            continue
+        run_pipeline(name, config, train_cli, family, render, metric_key,
+                     anchor, src, args, env, results)
         if args.synthetic:
             break  # one pipeline exercises the whole kit
 
+    if not args.synthetic and (args.only is None or args.only in DISTILL[0]):
+        if data_present(args.data_root, DISTILL[-1]):
+            run_distill(args, env, results)
+        else:
+            print(json.dumps({"pipeline": DISTILL[0], "skipped":
+                              f"missing data: {DISTILL[-1]}"}), flush=True)
+
+    os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "repro_summary.json"), "w") as fh:
         json.dump(results, fh, indent=2)
     print(f"summary written to {args.out}/repro_summary.json")

@@ -84,6 +84,25 @@ def load_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int]:
     return new_state, int(restored["epoch"]) + 1
 
 
+def load_checkpoint_variables(path: str,
+                              module_names=None) -> Tuple[Dict[str, Any], int]:
+    """Structure-free restore of params+stats only (no optimizer state).
+
+    Reads ANY checkpoint written by ``save_checkpoint`` regardless of which
+    modules it contains — in particular a FADA checkpoint's extra ``model_D``
+    when evaluating just the segmentor, matching the reference testers
+    loading the combined 6-state-dict ``.pth`` (aspp_tester.py:25-31,
+    aspp_fada.py:29-40).  Returns ({module: {"params", **stats}}, epoch)."""
+    wait_for_checkpoints()
+    restored = _checkpointer().restore(os.path.abspath(path))
+    out = {}
+    for name, m in restored["modules"].items():
+        if module_names is not None and name not in module_names:
+            continue
+        out[name] = {"params": m["params"], **(m.get("stats") or {})}
+    return out, int(restored["epoch"])
+
+
 def checkpoint_name(output_dir: str, prefix: str, epoch: int) -> str:
     return os.path.join(output_dir, f"{prefix}-{epoch}")
 

@@ -7,20 +7,26 @@ import argparse
 
 from ..data import DataLoader, build_collate_fn, build_dataset
 from ..eval.tester import Tester
+from ..parallel import initialize_distributed
 from ..utils import load_json, setup_logger
 from .common import load_cfg
 
 
 def test(cfg, render_config, args):
+    import jax
+
+    initialize_distributed(cfg)
     name = render_config.get("name", cfg.MODEL.NAME)
     logger = setup_logger(name + "_test", cfg.OUTPUT_DIR, 0)
     logger.info("#" * 20 + " Start Testing " + "#" * 20)
     logger.info(f"INPUT_SIZE_TEST: {cfg.INPUT.INPUT_SIZE_TEST}")
     test_data = build_dataset(cfg, mode="test", is_source=False)
+    nproc = jax.process_count()
     test_loader = DataLoader(
-        test_data, batch_size=cfg.TEST.BATCH_SIZE, shuffle=False,
-        drop_last=False, num_workers=cfg.DATA_PIPE.NUM_WORKERS,
-        collate_fn=build_collate_fn(cfg))
+        # TEST.BATCH_SIZE is global; each process loads its disjoint slice
+        test_data, batch_size=max(cfg.TEST.BATCH_SIZE // nproc, 1),
+        shuffle=False, drop_last=False, num_workers=cfg.DATA_PIPE.NUM_WORKERS,
+        collate_fn=build_collate_fn(cfg), process_shard=nproc > 1)
     tester = Tester(cfg, test_loader, logger,
                     palette=render_config.get("palette"),
                     trainid2name=render_config.get("trainid2name"),

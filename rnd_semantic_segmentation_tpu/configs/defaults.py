@@ -95,6 +95,9 @@ _C.SOLVER.BATCH_SIZE = 8
 _C.SOLVER.BATCH_SIZE_VAL = 1
 _C.SOLVER.GRAD_CLIP = 0.0                 # per-element clamp, 0 disables
                                           # (reference core/utils/utils.py:6-16)
+# FADA generator adversarial weight λ (reference hardcodes 0.001,
+# aspp_fada.py:110-112; tunable for short-horizon adaptation runs)
+_C.SOLVER.ADV_WEIGHT = 0.001
 # TPU-native: microbatch gradient accumulation inside the jitted step
 # (effective batch = BATCH_SIZE, HBM footprint = BATCH_SIZE/ACCUM_STEPS)
 _C.SOLVER.ACCUM_STEPS = 1
@@ -109,8 +112,16 @@ _C.TEST.MULTI_SCALE = False
 _C.TEST.SCALES = (0.7, 1.0, 1.3)
 # TPU-native serving: post-training int8 quantization (serve/quant.py).
 # "none" | "int8" (s8xs8->s32 convs on the MXU) | "fake" (f32 oracle path)
+# | "auto" (int8 only where the measured policy says it wins: geometry below
+#   QUANT_MAX_AREA and calibration argmax agreement >= QUANT_AGREEMENT_FLOOR)
 _C.TEST.QUANT = "none"
 _C.TEST.QUANT_CALIB_BATCHES = 2           # eval batches used for calibration
+# "auto" geometry gate: above this H*W the model is HBM- not MXU-bound and
+# int8 measured 0.64x bf16 (gald@1024x2048, BENCH_SERVING.json) — serve bf16
+_C.TEST.QUANT_MAX_AREA = 1048576          # 0 disables the geometry gate
+# fall back to bf16 when quant-vs-f32 argmax agreement on the calibration
+# batch drops below this (gald@512 measured 0.920 — a real accuracy loss)
+_C.TEST.QUANT_AGREEMENT_FLOOR = 0.95
 # int8 only where the MXU pays: convs with in/out channels below this stay
 # bf16; odd widths are zero-padded to the int8 tile boundary in-kernel
 # (v5e microbench in serve/quant.py QuantConfig.min_channels/pad_channels)
@@ -124,6 +135,7 @@ _C.DIST = CfgNode()
 _C.DIST.DATA_AXIS = "data"                # mesh axis name for batch sharding
 _C.DIST.SPATIAL_AXIS = "spatial"          # mesh axis name for H sharding
 _C.DIST.SPATIAL_PARALLEL = 1              # devices along the spatial axis
+_C.DIST.NUM_DEVICES = 0                   # cap mesh device count (0 = all)
 _C.DIST.INITIALIZE = False                # call jax.distributed.initialize()
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,11 @@ class DatasetCatalog:
         "bli_val": {"data_dir": "BLI/test", "data_list": ""},
         "synthetic_train": {"data_dir": "", "data_list": ""},
         "synthetic_val": {"data_dir": "", "data_list": ""},
+        # covariate-shifted target domain (DA efficacy tests) and the
+        # pseudo-label-reading stage-B distill variant
+        "synthetic_shift_train": {"data_dir": "", "data_list": ""},
+        "synthetic_shift_val": {"data_dir": "", "data_list": ""},
+        "synthetic_self_distill_train": {"data_dir": "", "data_list": ""},
     }
 
     @staticmethod
@@ -52,8 +57,21 @@ class DatasetCatalog:
         if "synthetic" in name:
             w, h = cfg.INPUT.SOURCE_INPUT_SIZE_TRAIN if mode == "train" \
                 else cfg.INPUT.INPUT_SIZE_TEST
-            return SyntheticDataset(size=(h, w), num_classes=num_classes,
-                                    transform=transform, seed=cfg.DATA_PIPE.SEED)
+            shift = "none"
+            for variant in ("swap", "blend", "dim"):  # synthetic_shift[_<v>]
+                if variant in name:
+                    shift = variant
+            if shift == "none" and "shift" in name:
+                shift = "swap"
+            kw = dict(size=(h, w), num_classes=num_classes,
+                      transform=transform, seed=cfg.DATA_PIPE.SEED,
+                      shift=shift)
+            if "distill" in name:
+                from .datasets import SyntheticSelfDistillDataset
+                label_dir = os.path.join(cfg.PSEUDO_DIR, "inference",
+                                         "synthetic_val")
+                return SyntheticSelfDistillDataset(label_dir, **kw)
+            return SyntheticDataset(**kw)
         if "gta5" in name:
             return GTA5FoldDataSet(cfg, root, mode=mode, cross_val=cross_val,
                                    transform=transform)

@@ -338,21 +338,27 @@ class SynthiaDataSet(_Base):
 
 
 class SyntheticDataset(_Base):
-    """Deterministic random-blob segmentation data for tests and benchmarks."""
+    """Deterministic random-blob segmentation data for tests and benchmarks.
+
+    ``shift="swap"`` produces a covariate-shifted TARGET domain for
+    domain-adaptation efficacy tests: the blob signal moves to the opposite
+    channel and global brightness drops — same labels, shifted input
+    distribution (the synthetic stand-in for GTA5->Cityscapes)."""
 
     def __init__(self, size: Tuple[int, int] = (352, 352), num_classes: int = 2,
-                 length: int = 64, transform=None, seed: int = 0, debug=False):
+                 length: int = 64, transform=None, seed: int = 0, debug=False,
+                 shift: str = "none"):
         self.size = size
         self.num_classes = num_classes
         self.length = length
         self.transform = transform
         self.seed = seed
         self.debug = debug
+        self.shift = shift
         self.image_paths = [f"synthetic_{i:05d}" for i in range(length)]
 
-    def __getitem__(self, index):
-        if self.debug:
-            index = 0
+    def _gen(self, index):
+        """(image, label, name) before the paired transform."""
         rng = np.random.RandomState(self.seed * 100003 + index)
         h, w = self.size
         image = rng.rand(h, w, 3).astype(np.float32)
@@ -365,7 +371,40 @@ class SyntheticDataset(_Base):
         # paint the blobs into the image so the task is learnable
         image[..., 0] += 0.5 * (label > 0)
         image = np.clip(image, 0, 1)
-        name = self.image_paths[index]
+        if self.shift == "swap":
+            # severe: signal channel flipped + brightness drop
+            image = np.ascontiguousarray(image[..., ::-1]) * 0.7
+        elif self.shift == "blend":
+            # moderate: half the signal leaks to the opposite channel
+            image = np.ascontiguousarray(
+                0.5 * image + 0.5 * image[..., ::-1]) * 0.8
+        elif self.shift == "dim":
+            # mild: global brightness/contrast shift (BN-stat mismatch)
+            image = np.clip(0.55 * image + 0.3, 0, 1)
+        return image, label, self.image_paths[index]
+
+    def __getitem__(self, index):
+        if self.debug:
+            index = 0
+        image, label, name = self._gen(index)
         if self.transform is not None:
             image, label = self.transform(image, label)
         return np.asarray(image), np.asarray(label), name
+
+
+class SyntheticSelfDistillDataset(SyntheticDataset):
+    """Stage-B dataset of the offline two-stage self-distill recipe
+    (cityscapes.py:153-182 semantics with identity remap): the deterministic
+    synthetic images paired with the pseudo-label PNGs that ``test.py
+    --saveres`` exported into ``PSEUDO_DIR/inference/<dataset>/``."""
+
+    def __init__(self, label_dir: str, **kw):
+        super().__init__(**kw)
+        self.label_dir = label_dir
+
+    def _gen(self, index):
+        image, _, name = super()._gen(index)
+        label = np.asarray(
+            Image.open(os.path.join(self.label_dir, f"{name}.png")),
+            dtype=np.float32)
+        return image, label, name

@@ -16,6 +16,15 @@ self-distill regime (aspp_tester.py:33-45).
 
 The eval forward is jitted once per input shape; metric accumulation
 (I/U histograms + confusion matrix) stays on device.
+
+TPU-native multi-device eval: the Tester builds the same ('data','spatial')
+mesh as the Trainer (parallel/mesh.py) — the eval batch is sharded over the
+data axis and, when DIST.SPATIAL_PARALLEL > 1, image height over the spatial
+axis; the I/U + confusion histograms are reduced on-device inside the jitted
+step (GSPMD inserts the psums — SURVEY §5 "eval metric reduction", matching
+/root/reference/core/utils/utility.py:148-161), so only C-sized vectors ever
+cross to the host.  Short final batches (drop_last=False) are padded with
+ignore-labeled rows, which contribute zero to every histogram.
 """
 
 from __future__ import annotations
@@ -29,12 +38,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ckpt import torch_import as TI
-from ..ckpt.orbax_io import load_checkpoint
 from ..models.build import build_segmentor
 from ..ops import resize_bilinear
 from ..train.segmentor import Segmentor
-from ..train.state import ModuleState, TrainState
-from ..train.steps import make_optimizers
 from ..utils import dump_json
 from .metrics import AverageMeter, confusion_matrix, intersection_and_union
 from .palette import save_pseudo_label
@@ -93,6 +99,16 @@ class Tester:
         self.spec = build_segmentor(cfg)
         self.segmentor = Segmentor(self.spec, cfg.MODEL.NUM_CLASSES)
         self.variables: Optional[Dict] = None
+        # multi-device eval mesh (same treatment as Trainer): batch over
+        # 'data', optionally H over 'spatial' (DIST.SPATIAL_PARALLEL)
+        from ..parallel.mesh import batch_sharding, make_mesh, replicate_state
+        self._local_bs = (getattr(test_loader, "batch_size", None)
+                          or max(cfg.TEST.BATCH_SIZE, 1))
+        self.mesh = make_mesh(
+            cfg, batch_size=self._local_bs * jax.process_count())
+        self.eval_sharding = batch_sharding(
+            self.mesh, spatial=cfg.DIST.SPATIAL_PARALLEL > 1)
+        self._replicate = lambda tree: replicate_state(tree, self.mesh)
 
     # -- checkpoint ----------------------------------------------------------
     def _load_checkpoint(self):
@@ -109,17 +125,18 @@ class Tester:
         if path.endswith(".pth"):
             self.variables = self._load_torch_checkpoint(path)
         else:
-            # restore via a template TrainState built from a fresh init
-            sample = next(iter(self.test_loader))
-            x = jnp.zeros(sample["image"].shape, jnp.float32)
-            variables = self.segmentor.init(jax.random.PRNGKey(0), x)
-            txs = make_optimizers(self.spec, self.cfg)
-            state = self.segmentor.make_states(variables, txs)
-            state, _ = load_checkpoint(path, state)
-            self.variables = {
-                name: {"params": m.params, **m.stats}
-                for name, m in state.modules.items()
-            }
+            # structure-free params+stats restore: works for plain AND FADA
+            # checkpoints (the latter carry an extra model_D module, matching
+            # the reference's combined .pth layout, aspp_fada.py:29-40)
+            from ..ckpt.orbax_io import load_checkpoint_variables
+            wanted = set(self.spec.modules)
+            self.variables, _ = load_checkpoint_variables(path, wanted)
+            missing = wanted - set(self.variables)
+            if missing:
+                raise ValueError(
+                    f"checkpoint {path} lacks modules {sorted(missing)} "
+                    f"needed by {self.cfg.MODEL.NAME}")
+        self.variables = self._replicate(self.variables)
 
     def _load_torch_checkpoint(self, path: str) -> Dict:
         return load_torch_checkpoint_variables(self.cfg, self.spec, path)
@@ -172,30 +189,91 @@ class Tester:
             return jax.nn.sigmoid(forward(x, label_size).astype(jnp.float32))
         raise NotImplementedError(fam)
 
+    # -- fused eval step: probs -> pred -> on-device histograms ---------------
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _eval_step(self, variables, x, y, label_size):
+        """One jitted graph per input shape: forward + argmax + I/U areas +
+        confusion matrix.  With sharded inputs GSPMD reduces the histograms
+        across the mesh on-device; only [C]-vectors reach the host."""
+        nc = self.cfg.MODEL.NUM_CLASSES
+        ignore = self.cfg.INPUT.IGNORE_LABEL
+        probs = self._probs_impl(variables, x, label_size)
+        pred = jnp.argmax(probs, axis=-1)
+        areas = intersection_and_union(pred, y, nc, ignore)
+        cmt = confusion_matrix(pred, y, nc, ignore)
+        return pred, areas, cmt
+
     # -- serving-path quantization ---------------------------------------------
     def make_quant_context(self):
         """TEST.QUANT != none: calibrate activation scales on the first
-        TEST.QUANT_CALIB_BATCHES eval batches (eager forward), return a
-        QuantContext (or None) to trace the eval loop under (serve/quant.py).
-        Cached: calibration runs once per Tester."""
+        TEST.QUANT_CALIB_BATCHES eval batches, return a QuantContext (or
+        None) to trace the eval loop under (serve/quant.py).
+
+        ``TEST.QUANT auto`` encodes the measured serving policy in code
+        (docs/SERVING.md): resolve to bf16 when the spatial area exceeds
+        TEST.QUANT_MAX_AREA (HBM-bound regime — int8 measured 0.64x there)
+        or when calibration-batch argmax agreement falls below
+        TEST.QUANT_AGREEMENT_FLOOR.  Explicit int8/fake requests are
+        honored but warned about when they trip the same gates.
+        Cached: calibration runs once per Tester; the outcome is recorded in
+        ``self.quant_report``."""
         if hasattr(self, "_qctx"):
             return self._qctx
         from ..serve import QuantConfig, calibrate_segmentor
-        from ..serve.quant import quant_error_report, resolve_mode
+        from ..serve.quant import (argmax_agreement, quant_error_report,
+                                   resolve_mode)
 
-        if self.cfg.TEST.QUANT == "none":
+        requested = self.cfg.TEST.QUANT
+        self.quant_report = {"requested": requested, "mode": "none",
+                             "agreement": None, "reason": ""}
+        if requested == "none":
             self._qctx = None
             return None
-        mode = resolve_mode(self.cfg.TEST.QUANT)
-        if mode != self.cfg.TEST.QUANT:
+        w, h = self.cfg.INPUT.INPUT_SIZE_TEST
+        mode = resolve_mode(requested, area=int(w) * int(h),
+                            max_area=self.cfg.TEST.QUANT_MAX_AREA)
+        if mode == "none":
             self.logger.info(
-                f"TEST.QUANT={self.cfg.TEST.QUANT}: backend lacks int8 conv; "
-                f"using the numerically-identical '{mode}' path")
+                f"TEST.QUANT=auto: {w}x{h} exceeds QUANT_MAX_AREA="
+                f"{self.cfg.TEST.QUANT_MAX_AREA} (HBM-bound regime) — "
+                f"serving bf16")
+            self.quant_report["reason"] = "geometry"
+            self._qctx = None
+            return None
+        if mode != requested and requested != "auto":
+            self.logger.info(
+                f"TEST.QUANT={requested}: backend lacks int8 conv; using the "
+                f"'{mode}' path (numerically equivalent up to f32 "
+                f"accumulation rounding)")
         qcfg = QuantConfig(mode=mode,
                            calib_batches=self.cfg.TEST.QUANT_CALIB_BATCHES,
                            min_channels=self.cfg.TEST.QUANT_MIN_CHANNELS)
         ctx = calibrate_segmentor(self.segmentor, self.variables,
                                   self.test_loader, config=qcfg)
+
+        floor = float(self.cfg.TEST.QUANT_AGREEMENT_FLOOR)
+        if floor > 0:
+            batch = next(iter(self.test_loader))
+            x = jnp.asarray(batch["image"])
+            ls = tuple(batch["label"].shape[1:3]) if "label" in batch \
+                else tuple(x.shape[1:3])
+            agreement = argmax_agreement(
+                lambda xx, l: self._probs_impl(self.variables, xx, l),
+                x, ls, ctx)
+            self.quant_report["agreement"] = agreement
+            if agreement < floor:
+                if requested == "auto":
+                    self.logger.info(
+                        f"TEST.QUANT=auto: argmax agreement {agreement:.3f} "
+                        f"< floor {floor} — serving bf16")
+                    self.quant_report["reason"] = "accuracy"
+                    self._qctx = None
+                    return None
+                self.logger.warning(
+                    f"TEST.QUANT={requested}: argmax agreement "
+                    f"{agreement:.3f} < floor {floor}; honoring the explicit "
+                    f"request — set TEST.QUANT auto to gate on accuracy")
+        self.quant_report["mode"] = mode
         self.logger.info(f"serving quantization: {quant_error_report(ctx)}")
         self._qctx = ctx
         return ctx
@@ -216,34 +294,86 @@ class Tester:
             summary = self._test_loop(cfg, nc, meter, cmt)
         return summary
 
+    def _pad_batch(self, batch, bs: int):
+        """Pad a short final batch (drop_last=False) to the compiled batch
+        size with ignore-labeled rows: one jitted shape, zero metric effect."""
+        n = int(batch["image"].shape[0])
+        if n >= bs:
+            return batch, n
+        pad = bs - n
+        image = np.concatenate(
+            [batch["image"],
+             np.zeros((pad,) + batch["image"].shape[1:], batch["image"].dtype)])
+        label = np.concatenate(
+            [batch["label"],
+             np.full((pad,) + batch["label"].shape[1:],
+                     self.cfg.INPUT.IGNORE_LABEL, batch["label"].dtype)])
+        return {**batch, "image": image, "label": label}, n
+
+    def _put(self, arr):
+        """Batch placement onto the eval mesh; multi-process assembles the
+        global array from per-host loader shards (parallel/mesh.py)."""
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                self.eval_sharding, np.asarray(arr))
+        return jax.device_put(np.asarray(arr), self.eval_sharding)
+
+    def _fetch_pred(self, pred) -> np.ndarray:
+        """Prediction rows addressable by THIS process, in global row order
+        (single-process: the full array).  Multi-process saveres writes each
+        host's own loader shard — the rank-0-only rule applies to metrics and
+        JSON dumps, not pseudo-label PNGs (each host owns its slice)."""
+        if jax.process_count() == 1:
+            return np.asarray(pred)
+        from collections import defaultdict
+        parts = defaultdict(dict)
+        for s in pred.addressable_shards:
+            b0 = s.index[0].start or 0
+            h0 = (s.index[1].start or 0) if len(s.index) > 1 else 0
+            parts[b0][h0] = np.asarray(s.data)
+        rows = [np.concatenate([hs[h] for h in sorted(hs)], axis=1)
+                for _, hs in sorted(parts.items())]
+        return np.concatenate(rows, axis=0)
+
     def _test_loop(self, cfg, nc, meter, cmt) -> Dict:
+        # each process pads its local slice to the loader batch size (the
+        # global batch is local_bs * process_count — cli/test.py semantics)
+        bs = self._local_bs
+        pending = []   # (areas, device_cmt) per batch — fetched after the loop
         for batch in self.test_loader:
-            x = jnp.asarray(batch["image"])
-            y = jnp.asarray(batch["label"])
-            label_size = tuple(y.shape[1:3])
-            output = self._probs(self.variables, x, label_size)
-            pred = jnp.argmax(output, axis=-1)
+            batch, n_real = self._pad_batch(batch, bs)
+            x = self._put(batch["image"])
+            y = self._put(batch["label"])
+            label_size = tuple(batch["label"].shape[1:3])
+            pred, areas, batch_cmt = self._eval_step(
+                self.variables, x, y, label_size)
             if self.saveres:
-                save_pseudo_label(np.asarray(pred[0]), self.palette,
-                                  cfg.PSEUDO_DIR, cfg.DATASETS.TEST,
-                                  batch["name"][0])
-            cmt += np.asarray(confusion_matrix(pred, y, nc, cfg.INPUT.IGNORE_LABEL))
-            inter, union, target, res = intersection_and_union(
-                pred, y, nc, cfg.INPUT.IGNORE_LABEL)
-            meter.update(np.asarray(inter), np.asarray(union),
-                         np.asarray(target), np.asarray(res))
+                pred_np = self._fetch_pred(pred)
+                for i in range(n_real):
+                    save_pseudo_label(pred_np[i], self.palette,
+                                      cfg.PSEUDO_DIR, cfg.DATASETS.TEST,
+                                      batch["name"][i])
+            # no per-batch host sync: device handles pile up, fetch at the end
+            pending.append((areas, batch_cmt))
+
+        for areas, batch_cmt in pending:
+            inter, union, target, res = (np.asarray(a) for a in areas)
+            meter.update(inter, union, target, res)
+            cmt += np.asarray(batch_cmt, np.int64)
 
         summary = meter.summary(self.logger)
-        dump_json(os.path.join(cfg.OUTPUT_DIR,
-                               f"{self.spec.family}_confusion_matrix.json"),
-                  {"cmt": cmt.tolist(),
-                   "classes": list(self.trainid2name.values())})
-        # heatmap PNG next to the JSON (reference utility.py:361-384 path)
-        from ..utils.plots import plot_confusion_matrix
-        classes = (list(self.trainid2name.values())
-                   or [str(i) for i in range(nc)])
-        plot_confusion_matrix(
-            cmt, classes,
-            out_path=os.path.join(cfg.OUTPUT_DIR,
-                                  f"{self.spec.family}_confusion_matrix.png"))
+        from ..parallel.mesh import process_is_primary
+        if process_is_primary():
+            dump_json(os.path.join(cfg.OUTPUT_DIR,
+                                   f"{self.spec.family}_confusion_matrix.json"),
+                      {"cmt": cmt.tolist(),
+                       "classes": list(self.trainid2name.values())})
+            # heatmap PNG next to the JSON (reference utility.py:361-384 path)
+            from ..utils.plots import plot_confusion_matrix
+            classes = (list(self.trainid2name.values())
+                       or [str(i) for i in range(nc)])
+            plot_confusion_matrix(
+                cmt, classes,
+                out_path=os.path.join(cfg.OUTPUT_DIR,
+                                      f"{self.spec.family}_confusion_matrix.png"))
         return summary

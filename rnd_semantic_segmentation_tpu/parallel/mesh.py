@@ -26,10 +26,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(cfg=None, devices=None, batch_size: int = 0) -> Mesh:
     """('data','spatial') mesh.  When ``batch_size`` is given, the data axis
     is capped at gcd(batch, devices) so small batches still shard evenly
-    (the reference's global->per-GPU split, defaults.py:74-77)."""
+    (the reference's global->per-GPU split, defaults.py:74-77).
+    cfg.DIST.NUM_DEVICES (0 = all) caps the device count — e.g. a forced
+    single-device run for A/B-ing sharded vs unsharded numbers."""
     import math
 
     devices = devices if devices is not None else jax.devices()
+    if cfg is not None and int(cfg.DIST.NUM_DEVICES):
+        devices = devices[: int(cfg.DIST.NUM_DEVICES)]
     spatial = int(cfg.DIST.SPATIAL_PARALLEL) if cfg is not None else 1
     data_axis = cfg.DIST.DATA_AXIS if cfg is not None else "data"
     spatial_axis = cfg.DIST.SPATIAL_AXIS if cfg is not None else "spatial"
@@ -54,8 +58,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a batch onto the mesh's data axis.
+def shard_batch(batch: Dict[str, Any], mesh: Mesh,
+                spatial: bool = False) -> Dict[str, Any]:
+    """Place a batch onto the mesh's data axis (and optionally H on 'spatial').
 
     Single-process: arrays are global and device_put shards them.
     Multi-process (jax.distributed): each host passes its LOCAL shard (from a
@@ -63,7 +68,7 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     ``make_array_from_process_local_data`` — the SPMD replacement for
     DistributedSampler + DDP input pipelines.
     """
-    sh = batch_sharding(mesh)
+    sh = batch_sharding(mesh, spatial=spatial)
     multi = jax.process_count() > 1
     out = {}
     for k, v in batch.items():

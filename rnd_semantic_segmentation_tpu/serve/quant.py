@@ -185,7 +185,9 @@ _INT8_CONV_SUPPORT: Optional[bool] = None
 
 def supports_int8_conv() -> bool:
     """Probe (once) whether the active backend compiles s8xs8->s32 convs.
-    Falls back to the numerically-identical f32 'fake' path when it doesn't."""
+    Falls back to the f32 'fake' path when it doesn't (numerically equivalent
+    up to f32 accumulation rounding: f32 partial sums diverge from int32
+    accumulation once a conv's per-output dot product exceeds 2^24)."""
     global _INT8_CONV_SUPPORT
     if _INT8_CONV_SUPPORT is None:
         try:
@@ -201,10 +203,39 @@ def supports_int8_conv() -> bool:
     return _INT8_CONV_SUPPORT
 
 
-def resolve_mode(mode: str) -> str:
+def resolve_mode(mode: str, area: Optional[int] = None,
+                 max_area: int = 0) -> str:
+    """Resolve the requested quant mode against backend + geometry.
+
+    ``auto`` encodes the measured v5e serving policy (docs/SERVING.md,
+    BENCH_SERVING.json): int8 wins at 512^2-class geometries but loses at
+    large spatial areas where the model is HBM-bound (gald@1024x2048 int8 =
+    0.64x bf16) — above ``max_area`` pixels, resolve to "none" (bf16).
+    The accuracy half of the auto policy (argmax-agreement floor) needs a
+    calibrated context and lives in the caller (eval/tester.py,
+    serve/server.py)."""
+    if mode == "auto":
+        if max_area and area is not None and area > max_area:
+            return "none"
+        mode = "int8"
     if mode == "int8" and not supports_int8_conv():
         return "fake"
     return mode
+
+
+def argmax_agreement(probs_fn, x, label_size, ctx: "QuantContext") -> float:
+    """Fraction of pixels whose argmax matches between the quantized and the
+    f32 path — the accuracy half of the ``auto`` policy.  ``probs_fn(x,
+    label_size)`` must be UNJITTED (it consults ``current_quant()`` at trace
+    time); both paths get a fresh jit so no stale cache can leak across the
+    scope boundary."""
+    with quant_scope(None):
+        ref = jnp.argmax(jax.jit(probs_fn, static_argnums=1)(x, label_size),
+                         axis=-1)
+    with quant_scope(ctx):
+        quant = jnp.argmax(jax.jit(probs_fn, static_argnums=1)(x, label_size),
+                           axis=-1)
+    return float(jnp.mean((ref == quant).astype(jnp.float32)))
 
 
 @contextlib.contextmanager

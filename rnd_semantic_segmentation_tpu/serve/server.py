@@ -85,15 +85,32 @@ class InferenceServer:
         self.tester = Tester(cfg, _ShapeLoader(), logger)
         self.tester._load_checkpoint()
         # TEST.QUANT: activation scales are calibrated lazily on the FIRST
-        # real batch (the shape loader is zeros — useless for calibration)
+        # real batch (the shape loader is zeros — useless for calibration).
+        # The geometry half of the "auto" policy resolves NOW (the serving
+        # shape is fixed), so an HBM-bound geometry never waits on a
+        # pointless calibration compile.
         self._qctx = None
-        self._needs_calib = cfg.TEST.QUANT != "none"
+        self._quant_mode = "none"
+        if cfg.TEST.QUANT != "none":
+            from .quant import resolve_mode
+            self._quant_mode = resolve_mode(
+                cfg.TEST.QUANT, area=h * w,
+                max_area=cfg.TEST.QUANT_MAX_AREA)
+            if self._quant_mode == "none":
+                logger.info(
+                    f"TEST.QUANT={cfg.TEST.QUANT}: {w}x{h} exceeds "
+                    f"QUANT_MAX_AREA={cfg.TEST.QUANT_MAX_AREA} (HBM-bound "
+                    f"regime) — serving bf16")
+        self._needs_calib = self._quant_mode != "none"
         self._fwd = self._fresh_fwd()
 
         self._queue: List[_Pending] = []
         self._cv = threading.Condition()
         self._stop = threading.Event()
         self.ready = threading.Event()
+        # dict '+= 1' is not atomic across handler threads + the dispatcher;
+        # every mutation goes through _count() under this lock
+        self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_images": 0,
                       "errors": 0, "rejected": 0}
         self._thread = threading.Thread(target=self._dispatch_loop,
@@ -146,14 +163,33 @@ class InferenceServer:
 
     def _calibrate(self, x):
         from . import QuantConfig, calibrate_segmentor
-        from .quant import resolve_mode
+        from .quant import argmax_agreement
 
-        mode = resolve_mode(self.cfg.TEST.QUANT)
-        self._qctx = calibrate_segmentor(
+        mode = self._quant_mode
+        ctx = calibrate_segmentor(
             self.tester.segmentor, self.tester.variables, [{"image": x}],
             config=QuantConfig(
                 mode=mode, calib_batches=1,
                 min_channels=self.cfg.TEST.QUANT_MIN_CHANNELS))
+        floor = float(self.cfg.TEST.QUANT_AGREEMENT_FLOOR)
+        if floor > 0:
+            import functools
+            agreement = argmax_agreement(
+                functools.partial(type(self.tester)._probs_impl, self.tester,
+                                  self.tester.variables),
+                x, tuple(x.shape[1:3]), ctx)
+            if agreement < floor and self.cfg.TEST.QUANT == "auto":
+                self._needs_calib = False
+                self.logger.info(
+                    f"TEST.QUANT=auto: argmax agreement {agreement:.3f} < "
+                    f"floor {floor} — serving bf16")
+                return
+            if agreement < floor:
+                self.logger.warning(
+                    f"TEST.QUANT={self.cfg.TEST.QUANT}: argmax agreement "
+                    f"{agreement:.3f} < floor {floor}; honoring the explicit "
+                    f"request — set TEST.QUANT auto to gate on accuracy")
+        self._qctx = ctx
         self._needs_calib = False
         self._fwd = self._fresh_fwd()  # drop the unquantized trace cache
         self.logger.info(
@@ -218,35 +254,44 @@ class InferenceServer:
             except Exception as e:
                 for p in batch:
                     p.error = str(e)  # counted once per request in predict()
-            self.stats["batches"] += 1
-            self.stats["batched_images"] += len(batch)
+            self._count("batches")
+            self._count("batched_images", len(batch))
             for p in batch:
                 p.event.set()
 
     # -- public API ----------------------------------------------------------
+    def _count(self, key: str, n: int = 1) -> None:
+        with self._stats_lock:
+            self.stats[key] += n
+
+    def snapshot_stats(self) -> dict:
+        with self._stats_lock:
+            return dict(self.stats)
+
     def predict(self, data: bytes, timeout: float = 60.0) -> np.ndarray:
-        self.stats["requests"] += 1
+        self._count("requests")
         try:
             img = self.preprocess(data)
         except Exception:
-            self.stats["errors"] += 1
+            self._count("errors")
             raise
         h, w = self._shape()
         if img.shape != (h, w, 3):
+            self._count("errors")
             raise ValueError(f"transform produced {img.shape}, want {(h, w, 3)}")
         pending = _Pending(img)
         with self._cv:
             if len(self._queue) >= self.max_queue:
-                self.stats["rejected"] += 1
+                self._count("rejected")
                 raise Overloaded(
                     f"queue full ({self.max_queue} pending)")
             self._queue.append(pending)
             self._cv.notify()
         if not pending.event.wait(timeout):
-            self.stats["errors"] += 1
+            self._count("errors")
             raise TimeoutError("prediction timed out")
         if pending.error:
-            self.stats["errors"] += 1
+            self._count("errors")
             raise RuntimeError(pending.error)
         return pending.pred
 
@@ -283,11 +328,17 @@ def _make_handler(server: InferenceServer):
         def do_GET(self):
             if self.path.startswith("/healthz"):
                 if server.ready.is_set():
-                    self._send(200, b'{"status": "ok"}')
+                    # "pending-calibration": the f32 graph is warm, but the
+                    # first real batch still pays the quantized recompile —
+                    # load balancers that need full warmth can gate on it
+                    quant = ("pending-calibration" if server._needs_calib
+                             else "ready")
+                    self._send(200, json.dumps(
+                        {"status": "ok", "quant": quant}).encode())
                 else:
                     self._send(503, b'{"status": "warming"}')
             elif self.path.startswith("/stats"):
-                s = dict(server.stats)
+                s = server.snapshot_stats()
                 s["mean_batch_occupancy"] = round(
                     s["batched_images"] / max(s["batches"], 1), 3)
                 s["ready"] = server.ready.is_set()

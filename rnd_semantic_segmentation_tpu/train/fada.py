@@ -51,6 +51,10 @@ def make_fada_train_step(segmentor: Segmentor, disc_module, cfg,
                          jit: bool = True) -> Callable:
     spec = segmentor.spec
     num_classes = cfg.MODEL.NUM_CLASSES
+    # λ for the generator adversarial term.  The reference hardcodes 0.001
+    # (aspp_fada.py:110-112) — that stays the default; SOLVER.ADV_WEIGHT
+    # makes it tunable (e.g. short-horizon adaptation runs want it larger).
+    adv_weight = float(getattr(cfg.SOLVER, "ADV_WEIGHT", ADV_WEIGHT))
     seg_loss_fn = make_family_loss(spec, num_classes, cfg.INPUT.IGNORE_LABEL)
     max_iter = cfg.SOLVER.EPOCHS * steps_per_epoch
     txs = {}
@@ -128,7 +132,7 @@ def make_fada_train_step(segmentor: Segmentor, disc_module, cfg,
                                            size=tgt_size)
             adv_target = jnp.concatenate(
                 [tgt_soft, jnp.zeros_like(tgt_soft)], axis=-1)
-            loss_adv = ADV_WEIGHT * losses.soft_label_cross_entropy(
+            loss_adv = adv_weight * losses.soft_label_cross_entropy(
                 tgt_d_pred, adv_target)
             aux = (stats2, src_tap, tgt_tap, src_soft, tgt_soft,
                    loss_seg, loss_adv)

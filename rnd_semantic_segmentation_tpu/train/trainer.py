@@ -109,7 +109,11 @@ class Trainer:
             base_rng=jax.random.PRNGKey(cfg.SEED + 1))
         if cfg.DEBUG.CHECKIFY:
             self.step_fn = wrap_step_checkify(self.step_fn)
-        self.batch_sharding = batch_sharding(self.mesh)
+        # DIST.SPATIAL_PARALLEL > 1: shard image height over the 'spatial'
+        # axis too (GSPMD inserts the conv halo exchanges) instead of
+        # replicating — the large-input regime (SURVEY §5 long-context)
+        self.batch_sharding = batch_sharding(
+            self.mesh, spatial=cfg.DIST.SPATIAL_PARALLEL > 1)
         self.device_aug = None
         if cfg.DATA_PIPE.DEVICE_AUG:
             from ..data.device_pipe import make_device_augmenter
@@ -164,13 +168,16 @@ class Trainer:
                         f"max mem: {_peak_memory_mb():.0f}")
             if (epoch % cfg.SOLVER.CHECKPOINT_PERIOD == 0
                     and process_is_primary()):
+                # prune BEFORE initiating the (possibly async) save: pruning
+                # never races the in-flight serialization and a crash
+                # mid-save still leaves KEEP_CHECKPOINTS complete dirs
+                from ..ckpt.orbax_io import prune_checkpoints
+                prune_checkpoints(cfg.OUTPUT_DIR, self.spec.ckpt_prefix,
+                                  cfg.SOLVER.KEEP_CHECKPOINTS)
                 path = checkpoint_name(cfg.OUTPUT_DIR, self.spec.ckpt_prefix, epoch)
                 save_checkpoint(path, self.state, epoch,
                                 wait=not cfg.SOLVER.ASYNC_CHECKPOINT)
                 self.logger.info(f"[Saving Snapshot:] {path}")
-                from ..ckpt.orbax_io import prune_checkpoints
-                prune_checkpoints(cfg.OUTPUT_DIR, self.spec.ckpt_prefix,
-                                  cfg.SOLVER.KEEP_CHECKPOINTS)
 
         from ..ckpt.orbax_io import wait_for_checkpoints
         wait_for_checkpoints()
@@ -241,7 +248,8 @@ class FadaTrainer:
             base_rng=jax.random.PRNGKey(cfg.SEED + 3))
         if cfg.DEBUG.CHECKIFY:
             self.step_fn = wrap_step_checkify(self.step_fn)
-        self.batch_sharding = batch_sharding(self.mesh)
+        self.batch_sharding = batch_sharding(
+            self.mesh, spatial=cfg.DIST.SPATIAL_PARALLEL > 1)
 
     def train(self):
         cfg = self.cfg

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -49,6 +50,9 @@ def plot_confusion_matrix(cm: np.ndarray, classes: Sequence[str],
     ax.set_ylabel("True label")
     ax.set_xlabel("Predicted label")
     fig.tight_layout()
+    parent = os.path.dirname(out_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     fig.savefig(out_path, dpi=100)
     plt.close(fig)
     return out_path
