@@ -137,11 +137,28 @@ def main():
             agree = float((preds["bf16"] == preds["int8"]).mean())
             ok = [r for r in rows if r.get("model") == case_name
                   and "eval_images_per_sec" in r]
+            # what would TEST.QUANT=auto resolve here?  Same policy as
+            # eval/tester.py + serve/server.py: geometry gate
+            # (resolve_mode) then the calibration argmax-agreement floor.
+            from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+            from rnd_semantic_segmentation_tpu.serve.quant import resolve_mode
+            _c = get_default_cfg().TEST
+            h, w = (size, size) if isinstance(size, int) else size
+            geo = resolve_mode("auto", area=h * w,
+                               max_area=_c.QUANT_MAX_AREA)
+            if geo == "none":
+                auto, reason = "bf16", f"area {h*w} > {_c.QUANT_MAX_AREA}"
+            elif agree < _c.QUANT_AGREEMENT_FLOOR:
+                auto, reason = "bf16", (f"agreement {agree:.3f} < "
+                                        f"{_c.QUANT_AGREEMENT_FLOOR}")
+            else:
+                auto, reason = geo, "passes geometry + agreement gates"
             summary = {"model": case_name,
                        "int8_speedup_vs_bf16":
                            round(ok[1]["eval_images_per_sec"]
                                  / ok[0]["eval_images_per_sec"], 3),
-                       "int8_bf16_argmax_agreement": round(agree, 5)}
+                       "int8_bf16_argmax_agreement": round(agree, 5),
+                       "auto_resolves": auto, "auto_reason": reason}
             rows.append(summary)
             print(json.dumps(summary), flush=True)
 

@@ -66,6 +66,8 @@ _C.DATASETS.TARGET_TRAIN = ""
 _C.DATASETS.VALIDATION = ""
 _C.DATASETS.TEST = ""
 _C.DATASETS.CROSS_VAL = 0
+# images per split of the synthetic stand-in datasets (tests/benchmarks)
+_C.DATASETS.SYNTHETIC_LENGTH = 64
 
 # ---------------------------------------------------------------------------
 # Solver
@@ -101,6 +103,12 @@ _C.SOLVER.ADV_WEIGHT = 0.001
 # TPU-native: microbatch gradient accumulation inside the jitted step
 # (effective batch = BATCH_SIZE, HBM footprint = BATCH_SIZE/ACCUM_STEPS)
 _C.SOLVER.ACCUM_STEPS = 1
+# After training, re-estimate BN running stats over N loader batches
+# (torch swa_utils.update_bn analog, train/bn_recal.py) and re-save the
+# final checkpoint.  Short from-scratch runs need this: the EfficientNet
+# encoder's BN momentum is 0.01, so running stats lag batch stats by
+# hundreds of steps and eval-mode quality collapses.  0 disables.
+_C.SOLVER.BN_RECAL_BATCHES = 0
 
 # ---------------------------------------------------------------------------
 # Test

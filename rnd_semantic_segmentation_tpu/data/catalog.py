@@ -65,7 +65,8 @@ class DatasetCatalog:
                 shift = "swap"
             kw = dict(size=(h, w), num_classes=num_classes,
                       transform=transform, seed=cfg.DATA_PIPE.SEED,
-                      shift=shift)
+                      shift=shift,
+                      length=getattr(cfg.DATASETS, "SYNTHETIC_LENGTH", 64))
             if "distill" in name:
                 from .datasets import SyntheticSelfDistillDataset
                 label_dir = os.path.join(cfg.PSEUDO_DIR, "inference",

@@ -21,8 +21,9 @@ artifact to manage):
     ``preferred_element_type=int32``, rescaled to f32 by ``sx * sw`` and the
     bias added in f32.
   * **Modes**: ``int8`` (real int8 conv), ``fake`` (quantize-dequantize in
-    f32 — numerically the same model, for platforms without int8 conv support
-    and for isolating accuracy effects from kernel effects), ``calibrate``.
+    f32 — same quantized values, equivalent up to f32-vs-int32 accumulation
+    rounding; for platforms without int8 conv support and for isolating
+    accuracy effects from kernel effects), ``calibrate``.
 
 Hook: ``models.layers.Conv2d`` consults ``current_quant()`` at *trace* time.
 Enter ``quant_scope(ctx)`` around both calibration and the jit-compiled eval

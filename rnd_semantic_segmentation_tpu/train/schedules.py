@@ -24,8 +24,13 @@ import jax.numpy as jnp
 
 
 def poly_lr(base_lr: float, iteration, max_iter: int, power: float = 0.9):
+    # clamp: an iteration count past max_iter (resumes, multi-step-per-batch
+    # loops) must floor at 0, not produce NaN via negative**0.9.  Python
+    # scalars stay in f64 (the parity oracle compares at 1e-12).
     frac = 1.0 - iteration / max_iter
-    return base_lr * frac ** power
+    if isinstance(frac, (int, float)):
+        return base_lr * max(frac, 0.0) ** power
+    return base_lr * jnp.maximum(frac, 0.0) ** power
 
 
 def step_decay_lr(base_lr: float, epoch, decay_rate: float = 0.1,

@@ -75,17 +75,24 @@ def make_family_loss(spec, num_classes: int, ignore_label: int = 255) -> Callabl
 
 def make_lr_schedule(spec, cfg, steps_per_epoch: int) -> Callable:
     """lr(iteration, epoch0) with epoch0 = 0-based epoch (torch scheduler
-    convention: LR during epoch N uses last_epoch = N-1)."""
+    convention: LR during epoch N uses last_epoch = N-1).
+
+    Family dispatch comes FIRST: the reference pranet/attn trainers hardcode
+    their schedules (pranet_trainer.py GradualWarmup->cosine,
+    attn_trainer.py CosineAnnealingWarmup) regardless of SOLVER.LR_METHOD —
+    the config default "poly" must not override them.  (A poly schedule fed
+    pranet's 3-optimizer-steps-per-batch iteration count overruns max_iter
+    and 'negative**0.9' is NaN — caught by the family learning tests.)"""
     fam = spec.family
     base = cfg.SOLVER.BASE_LR
     method = cfg.SOLVER.LR_METHOD
-    if fam in ("deeplab", "gald") or method == "poly":
-        max_iter = cfg.SOLVER.EPOCHS * steps_per_epoch
-        return lambda it, ep0: poly_lr(base, it, max_iter, cfg.SOLVER.LR_POWER)
     if fam == "pranet":
         return lambda it, ep0: gradual_warmup_cosine_lr(base, ep0)
     if fam in ("attn", "attnwrap"):
         return lambda it, ep0: warmup_cosine_lr(base, ep0)
+    if method == "poly":
+        max_iter = cfg.SOLVER.EPOCHS * steps_per_epoch
+        return lambda it, ep0: poly_lr(base, it, max_iter, cfg.SOLVER.LR_POWER)
     if method == "step":
         return lambda it, ep0: step_decay_lr(base, ep0, cfg.SOLVER.DECAY_RATE,
                                              cfg.SOLVER.DECAY_EPOCH)

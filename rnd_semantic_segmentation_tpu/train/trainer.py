@@ -179,6 +179,9 @@ class Trainer:
                                 wait=not cfg.SOLVER.ASYNC_CHECKPOINT)
                 self.logger.info(f"[Saving Snapshot:] {path}")
 
+        if cfg.SOLVER.BN_RECAL_BATCHES > 0:
+            self._recalibrate_bn(cfg.SOLVER.BN_RECAL_BATCHES)
+
         from ..ckpt.orbax_io import wait_for_checkpoints
         wait_for_checkpoints()
         total = time.time() - start
@@ -189,6 +192,43 @@ class Trainer:
                                f"{self.spec.family}_chart_params.json"),
                   {"learning rate": self.lr_data, "loss": self.loss_data})
         return self.state
+
+    def _recalibrate_bn(self, n_batches: int):
+        """SOLVER.BN_RECAL_BATCHES > 0: replace BN running stats with the
+        average batch statistics over n loader batches (train/bn_recal.py,
+        the torch swa_utils.update_bn analog), then re-save the final
+        checkpoint so eval/resume sees the recalibrated model.  Essential
+        for short from-scratch runs: the EfficientNet encoder's momentum
+        0.01 leaves running stats ~unconverged for hundreds of steps."""
+        cfg = self.cfg
+        import jax as _jax
+        if _jax.process_count() > 1:
+            # per-process loader shards would recalibrate each replica on
+            # different data and de-replicate the stats
+            self.logger.warning("BN_RECAL_BATCHES ignored under multi-process "
+                                "training (per-process loader shards)")
+            return
+        from .bn_recal import recalibrate_batch_stats
+        batches = []
+        for batch in self.train_loader:
+            batches.append({"image": np.asarray(batch["image"])})
+            if len(batches) >= n_batches:
+                break
+        params = {n: m.params for n, m in self.state.modules.items()}
+        stats = {n: m.stats for n, m in self.state.modules.items()}
+        new_stats = recalibrate_batch_stats(
+            self.segmentor, params, stats, batches,
+            rng=jax.random.PRNGKey(cfg.SEED + 2))
+        self.state = self.state.replace(modules={
+            n: m.replace(stats=new_stats[n])
+            for n, m in self.state.modules.items()})
+        self.logger.info(f"[BN-recal] running stats re-estimated over "
+                         f"{len(batches)} batches")
+        if process_is_primary():
+            path = checkpoint_name(cfg.OUTPUT_DIR, self.spec.ckpt_prefix,
+                                   cfg.SOLVER.EPOCHS)
+            save_checkpoint(path, self.state, cfg.SOLVER.EPOCHS, wait=True)
+            self.logger.info(f"[BN-recal] re-saved {path}")
 
 
 class FadaTrainer:

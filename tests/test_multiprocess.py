@@ -127,6 +127,185 @@ _TRAIN_WORKER = textwrap.dedent("""
 """)
 
 
+_FADA_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    port, pid = sys.argv[1], int(sys.argv[2])
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+    from rnd_semantic_segmentation_tpu.data import DataLoader, SyntheticDataset
+    from rnd_semantic_segmentation_tpu.models import (
+        build_adversarial_discriminator, build_segmentor)
+    from rnd_semantic_segmentation_tpu.parallel import make_mesh, shard_batch
+    from rnd_semantic_segmentation_tpu.train import (
+        Segmentor, make_optimizers)
+    from rnd_semantic_segmentation_tpu.train.fada import (
+        FadaState, init_disc_state, make_fada_train_step)
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "deeplab_resnet18"
+    cfg.MODEL.DTYPE = "float32"
+    cfg.MODEL.NUM_CLASSES = 2
+    cfg.MODEL.FREEZE_BN = True
+    cfg.SOLVER.BASE_LR = 1e-4
+    cfg.SOLVER.BASE_LR_D = 1e-4
+
+    mesh = make_mesh(cfg)  # 4 global devices
+    # per-process src+tgt loader shards (the reference's only live DDP
+    # surface, train_adv.py:81-88: DistributedSampler on both loaders)
+    src_ds = SyntheticDataset(size=(32, 32), length=16, num_classes=2)
+    tgt_ds = SyntheticDataset(size=(32, 32), length=16, num_classes=2,
+                              shift="swap")
+    src_l = DataLoader(src_ds, batch_size=2, shuffle=True, seed=5,
+                       process_shard=True)
+    tgt_l = DataLoader(tgt_ds, batch_size=2, shuffle=True, seed=7,
+                       process_shard=True)
+
+    spec = build_segmentor(cfg)
+    seg = Segmentor(spec, 2)
+    variables = seg.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    seg_state = seg.make_states(variables, make_optimizers(spec, cfg))
+    params = {n: m.params for n, m in seg_state.modules.items()}
+    stats = {n: m.stats for n, m in seg_state.modules.items()}
+    tap = jax.eval_shape(
+        lambda p, x: seg.forward(p, stats, x, train=False)[2],
+        params, jnp.zeros((1, 32, 32, 3)))
+    disc = build_adversarial_discriminator(cfg)
+    disc_state = init_disc_state(disc, jax.random.PRNGKey(1),
+                                 jnp.zeros(tap.shape, jnp.float32), cfg)
+    state = jax.device_put(FadaState(seg=seg_state, disc=disc_state),
+                           NamedSharding(mesh, P()))
+    step = make_fada_train_step(seg, disc, cfg, steps_per_epoch=4)
+
+    n_steps = 0
+    for sb, tb in zip(src_l, tgt_l):
+        gs = shard_batch({"image": sb["image"], "label": sb["label"]}, mesh)
+        gt = shard_batch({"image": tb["image"], "label": tb["label"]}, mesh)
+        state, m = step(state, gs, gt, jnp.float32(0))
+        assert np.isfinite(float(m["loss_seg"]))
+        assert np.isfinite(float(m["loss_D_src"]))
+        n_steps += 1
+    assert n_steps == 4, n_steps
+    g_leaf = np.asarray(jax.device_get(
+        jax.tree.leaves(state.seg.modules["classifier"].params)[0]))
+    d_leaf = np.asarray(jax.device_get(
+        jax.tree.leaves(state.disc.params)[0]))
+    print(f"proc{pid} FADA OK gsum={g_leaf.sum():.6f} dsum={d_leaf.sum():.6f}",
+          flush=True)
+""")
+
+
+_EVAL_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    port, pid = sys.argv[1], int(sys.argv[2])
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+    from rnd_semantic_segmentation_tpu.data import (
+        DataLoader, SyntheticDataset, build_collate_fn)
+    from rnd_semantic_segmentation_tpu.eval.metrics import (
+        intersection_and_union)
+    from rnd_semantic_segmentation_tpu.eval.tester import Tester
+    from rnd_semantic_segmentation_tpu.utils import setup_logger
+
+    out_dir = sys.argv[3]
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "deeplab_resnet18"
+    cfg.MODEL.DTYPE = "float32"
+    cfg.MODEL.NUM_CLASSES = 2
+    cfg.MODEL.FREEZE_BN = True
+    cfg.INPUT.INPUT_SIZE_TEST = (32, 32)
+    cfg.DATASETS.TEST = "synthetic_val"
+    cfg.TEST.BATCH_SIZE = 4  # global; local loader batch = 2
+    cfg.OUTPUT_DIR = out_dir
+
+    ds = SyntheticDataset(size=(32, 32), length=16, num_classes=2)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        process_shard=True,
+                        collate_fn=build_collate_fn(cfg))
+    logger = setup_logger(f"mp_eval_{pid}", out_dir, pid)
+    tester = Tester(cfg, loader, logger)
+    tester.variables = tester._replicate(tester.segmentor.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)))
+    host_vars = jax.device_get(tester.variables)
+    summary = tester.test()
+
+    # single-process reference on the SAME model over the FULL dataset:
+    # micro metrics + confusion are batch-grouping independent
+    inter_s = np.zeros(2); union_s = np.zeros(2)
+    fwd = jax.jit(lambda v, x: tester._probs_impl(v, x, (32, 32)))
+    for i in range(0, len(ds), 4):
+        items = [ds[j] for j in range(i, i + 4)]
+        x = jnp.asarray(np.stack([it[0] for it in items]), jnp.float32)
+        y = jnp.asarray(np.stack([it[1] for it in items]).astype(np.int32))
+        pred = jnp.argmax(fwd(host_vars, x), axis=-1)
+        inter, union, _, _ = intersection_and_union(pred, y, 2, 255)
+        inter_s += np.asarray(inter); union_s += np.asarray(union)
+    ref_micro = float(np.mean(inter_s / (union_s + 1e-10)))
+    assert abs(summary["micro_miou"] - ref_micro) < 1e-6, (
+        summary["micro_miou"], ref_micro)
+    print(f"proc{pid} EVAL OK micro={summary['micro_miou']:.6f}", flush=True)
+""")
+
+
+def _run_two(tmp_path, script, extra_args=()):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = tmp_path / "worker.py"
+    worker.write_text(script)
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(port), str(i), *extra_args],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i}:\n{out[-3000:]}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_fada_training(tmp_path):
+    """2-process adversarial step: per-process src+tgt loader shards; G and D
+    must stay replicated-identical across processes after 4 steps."""
+    outs = _run_two(tmp_path, _FADA_WORKER)
+    sums = []
+    for i, out in enumerate(outs):
+        line = [l for l in out.splitlines() if "FADA OK" in l][0]
+        sums.append(line.split("FADA OK ")[1])
+    assert sums[0] == sums[1], sums
+
+
+@pytest.mark.slow
+def test_two_process_eval(tmp_path):
+    """2-process Tester eval: psum-reduced metrics match a single-process
+    full-dataset reference bit-for-bit (micro metrics)."""
+    outs = _run_two(tmp_path, _EVAL_WORKER,
+                    extra_args=(str(tmp_path / "eval_out"),))
+    vals = []
+    for i, out in enumerate(outs):
+        line = [l for l in out.splitlines() if "EVAL OK" in l][0]
+        vals.append(line.split("micro=")[1])
+    assert vals[0] == vals[1], vals
+
+
 @pytest.mark.slow
 def test_two_process_sharded_training(tmp_path):
     with socket.socket() as s:

@@ -87,3 +87,38 @@ def test_step_decay():
     assert float(step_decay_lr(1.0, 0, 0.1, 30)) == 1.0
     assert abs(float(step_decay_lr(1.0, 30, 0.1, 30)) - 0.1) < 1e-12
     assert abs(float(step_decay_lr(1.0, 65, 0.1, 30)) - 0.01) < 1e-12
+
+
+def test_family_dispatch_overrides_default_method():
+    """Regression: pranet/attn must get their reference-trainer schedules
+    even under the default SOLVER.LR_METHOD="poly" (the old dispatch let
+    "poly" shadow them; pranet's 3-optimizer-steps-per-batch loop then
+    overran max_iter and negative**0.9 poisoned the whole run with NaNs)."""
+    from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+    from rnd_semantic_segmentation_tpu.train.steps import make_lr_schedule
+
+    class _Spec:
+        def __init__(self, family):
+            self.family = family
+
+    cfg = get_default_cfg()
+    assert cfg.SOLVER.LR_METHOD == "poly"
+    cfg.SOLVER.BASE_LR = 1e-3
+    cfg.SOLVER.EPOCHS = 4
+    steps_per_epoch = 4
+
+    # pranet: epoch-based gradual warmup — iteration-independent, and still
+    # finite/fixed far past EPOCHS*steps_per_epoch optimizer steps
+    sched = make_lr_schedule(_Spec("pranet"), cfg, steps_per_epoch)
+    assert abs(float(sched(0, 0.0)) - 1e-3) < 1e-9
+    assert float(sched(48, 1.0)) > float(sched(0, 0.0))  # warming up
+    assert np.isfinite(float(sched(100, 3.0)))
+
+    # attn: warmup-cosine, also epoch-based
+    sched = make_lr_schedule(_Spec("attn"), cfg, steps_per_epoch)
+    assert abs(float(sched(0, 0.0)) - 1e-3 / 5) < 1e-9  # epoch 1 of 5 warmup
+
+    # deeplab keeps poly, and poly clamps at zero past max_iter (no NaN)
+    sched = make_lr_schedule(_Spec("deeplab"), cfg, steps_per_epoch)
+    assert float(sched(16, 0.0)) == 0.0
+    assert np.isfinite(float(sched(48, 0.0)))
