@@ -35,21 +35,23 @@ def _setup(name, num_classes, size, base_lr=1e-3, batch=2):
     return state, step, {"image": x, "label": y}
 
 
-@pytest.mark.parametrize("name,nc,size,lr", [
-    ("deeplab_resnet18", 5, 32, 1e-4),
-    ("gald_hardnet68", 4, 224, 1e-4),
-    ("pranet_res2net50", 2, 64, 1e-3),
-    ("attn_efficientnet-b0", 2, 64, 1e-3),
+@pytest.mark.parametrize("name,nc,size,lr,steps", [
+    ("deeplab_resnet18", 5, 32, 1e-4, 6),
+    # gald's deep-supervised loss has a ~8-step BN transient before it drops
+    # below step 0 — needs the longer horizon
+    ("gald_hardnet68", 4, 224, 1e-4, 10),
+    ("pranet_res2net50", 2, 64, 1e-3, 6),
+    ("attn_efficientnet-b0", 2, 64, 1e-3, 6),
 ])
-def test_step_runs_and_learns(name, nc, size, lr):
+def test_step_runs_and_learns(name, nc, size, lr, steps):
     state, step, batch = _setup(name, nc, size, base_lr=lr)
     losses = []
-    for i in range(10):
+    for i in range(steps):
         state, metrics = step(state, batch, jnp.float32(0))
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert min(losses[1:]) < losses[0], losses
-    assert int(state.step) == 10
+    assert int(state.step) == steps
 
 
 def test_grad_accumulation_matches_full_batch():
