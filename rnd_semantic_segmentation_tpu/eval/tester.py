@@ -101,6 +101,7 @@ class Tester:
         self.variables: Optional[Dict] = None
         # multi-device eval mesh (same treatment as Trainer): batch over
         # 'data', optionally H over 'spatial' (DIST.SPATIAL_PARALLEL)
+        from jax.sharding import NamedSharding, PartitionSpec
         from ..parallel.mesh import batch_sharding, make_mesh, replicate_state
         self._local_bs = (getattr(test_loader, "batch_size", None)
                           or max(cfg.TEST.BATCH_SIZE, 1))
@@ -108,6 +109,9 @@ class Tester:
             cfg, batch_size=self._local_bs * jax.process_count())
         self.eval_sharding = batch_sharding(
             self.mesh, spatial=cfg.DIST.SPATIAL_PARALLEL > 1)
+        # [B]-shaped row-validity mask: data axis only
+        self._mask_sharding = NamedSharding(
+            self.mesh, PartitionSpec(self.mesh.axis_names[0]))
         self._replicate = lambda tree: replicate_state(tree, self.mesh)
 
     # -- checkpoint ----------------------------------------------------------
@@ -146,12 +150,18 @@ class Tester:
     def _probs(self, variables, x, label_size):
         return self._probs_impl(variables, x, label_size)
 
-    def _probs_impl(self, variables, x, label_size):
+    def _probs_impl(self, variables, x, label_size, valid=None):
         """Unjitted head — callers that need a FRESH jit cache (e.g. the
         serving daemon after quant calibration: a cache populated without
         the quant scope would silently keep serving the f32 graph) wrap
         this themselves instead of sharing ``_probs``'s per-instance
-        cache."""
+        cache.
+
+        ``valid`` ([B] bool, optional): rows that are real data.  Only the
+        pranet head consumes it — its min-max rescale is batch-GLOBAL
+        (reference pranet_tester.py:41 takes min/max over the whole B,H,W
+        array), so the Tester's ignore-padded rows must be masked out of
+        the statistics or they perturb real rows' predictions."""
         params = {n: dict(v)["params"] for n, v in variables.items()}
         stats = {n: {k: c for k, c in dict(v).items() if k != "params"}
                  for n, v in variables.items()}
@@ -183,7 +193,13 @@ class Tester:
             out = resize_bilinear(forward(x, label_size).astype(jnp.float32),
                                   label_size, align_corners=False)
             p = jax.nn.sigmoid(out)[..., 0]
-            p = (p - p.min()) / (p.max() - p.min() + 1e-8)
+            if valid is not None:
+                v = valid[:, None, None]
+                pmin = jnp.min(jnp.where(v, p, jnp.inf))
+                pmax = jnp.max(jnp.where(v, p, -jnp.inf))
+            else:
+                pmin, pmax = p.min(), p.max()
+            p = (p - pmin) / (pmax - pmin + 1e-8)
             return jnp.stack([1 - p, p], axis=-1)
         if fam in ("attn", "attnwrap"):
             return jax.nn.sigmoid(forward(x, label_size).astype(jnp.float32))
@@ -191,13 +207,14 @@ class Tester:
 
     # -- fused eval step: probs -> pred -> on-device histograms ---------------
     @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _eval_step(self, variables, x, y, label_size):
+    def _eval_step(self, variables, x, y, label_size, valid=None):
         """One jitted graph per input shape: forward + argmax + I/U areas +
         confusion matrix.  With sharded inputs GSPMD reduces the histograms
-        across the mesh on-device; only [C]-vectors reach the host."""
+        across the mesh on-device; only [C]-vectors reach the host.
+        ``valid`` masks padded rows out of batch-coupled heads (pranet)."""
         nc = self.cfg.MODEL.NUM_CLASSES
         ignore = self.cfg.INPUT.IGNORE_LABEL
-        probs = self._probs_impl(variables, x, label_size)
+        probs = self._probs_impl(variables, x, label_size, valid=valid)
         pred = jnp.argmax(probs, axis=-1)
         areas = intersection_and_union(pred, y, nc, ignore)
         cmt = confusion_matrix(pred, y, nc, ignore)
@@ -310,13 +327,13 @@ class Tester:
                      self.cfg.INPUT.IGNORE_LABEL, batch["label"].dtype)])
         return {**batch, "image": image, "label": label}, n
 
-    def _put(self, arr):
+    def _put(self, arr, sharding=None):
         """Batch placement onto the eval mesh; multi-process assembles the
         global array from per-host loader shards (parallel/mesh.py)."""
+        sh = sharding if sharding is not None else self.eval_sharding
         if jax.process_count() > 1:
-            return jax.make_array_from_process_local_data(
-                self.eval_sharding, np.asarray(arr))
-        return jax.device_put(np.asarray(arr), self.eval_sharding)
+            return jax.make_array_from_process_local_data(sh, np.asarray(arr))
+        return jax.device_put(np.asarray(arr), sh)
 
     def _fetch_pred(self, pred) -> np.ndarray:
         """Prediction rows addressable by THIS process, in global row order
@@ -344,9 +361,10 @@ class Tester:
             batch, n_real = self._pad_batch(batch, bs)
             x = self._put(batch["image"])
             y = self._put(batch["label"])
+            valid = self._put(np.arange(bs) < n_real, self._mask_sharding)
             label_size = tuple(batch["label"].shape[1:3])
             pred, areas, batch_cmt = self._eval_step(
-                self.variables, x, y, label_size)
+                self.variables, x, y, label_size, valid)
             if self.saveres:
                 pred_np = self._fetch_pred(pred)
                 for i in range(n_real):

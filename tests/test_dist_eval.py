@@ -124,3 +124,79 @@ def test_eval_short_batch_padding(ckpt, tmp_path):
     out = run(0, 2)
     for key in ("macro_miou", "macro_mf1", "micro_miou", "micro_mf1"):
         assert abs(out[key] - ref[key]) < 1e-6, (key, out[key], ref[key])
+
+
+def test_pranet_short_batch_padding_masks_minmax(tmp_path):
+    """pranet's min-max rescale is batch-GLOBAL (reference
+    pranet_tester.py:41), so the Tester's ignore-padded rows must be masked
+    out of the statistics — a padded short batch must predict exactly what
+    the unpadded rows predict on their own.  (deeplab's softmax head is
+    per-pixel; only pranet couples rows through the head.)"""
+    import jax.numpy as jnp
+
+    from rnd_semantic_segmentation_tpu.data import SyntheticDataset
+    from rnd_semantic_segmentation_tpu.eval.metrics import (
+        intersection_and_union)
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "pranet_res2net50"
+    cfg.MODEL.DTYPE = "float32"
+    cfg.MODEL.NUM_CLASSES = 2
+    cfg.MODEL.FREEZE_BN = True
+    cfg.INPUT.INPUT_SIZE_TEST = (64, 64)
+    cfg.DATASETS.TEST = "synthetic_val"
+    cfg.OUTPUT_DIR = str(tmp_path)
+
+    ds = SyntheticDataset(size=(64, 64), length=6, num_classes=2)
+    loader = DataLoader(ds, batch_size=4, shuffle=False, drop_last=False,
+                        num_workers=2, collate_fn=build_collate_fn(cfg))
+    tester = Tester(cfg, loader, setup_logger("pra_pad", str(tmp_path), 0))
+    tester.variables = tester._replicate(tester.segmentor.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    host_vars = jax.device_get(tester.variables)
+    summary = tester.test()  # batches: [4 rows, 2 rows padded to 4]
+
+    # reference: the same model on the UNPADDED row groups [0:4] and [4:6]
+    inter_s = np.zeros(2)
+    union_s = np.zeros(2)
+    for lo, hi in ((0, 4), (4, 6)):
+        items = [ds[j] for j in range(lo, hi)]
+        x = jnp.asarray(np.stack([it[0] for it in items]), jnp.float32)
+        y = jnp.asarray(np.stack([it[1] for it in items]).astype(np.int32))
+        pred = jnp.argmax(tester._probs_impl(host_vars, x, (64, 64)), axis=-1)
+        inter, union, _, _ = intersection_and_union(pred, y, 2, 255)
+        inter_s += np.asarray(inter)
+        union_s += np.asarray(union)
+    ref_micro = float(np.mean(inter_s / (union_s + 1e-10)))
+    assert abs(summary["micro_miou"] - ref_micro) < 1e-6, (
+        summary["micro_miou"], ref_micro)
+
+    # sharp mask-semantics check: pad rows with EXTREME inputs (which drive
+    # sigmoid toward 0/1 and would certainly stretch an unmasked batch
+    # min/max); masked probs of the real rows must equal the probs of the
+    # real rows evaluated alone
+    rng = np.random.RandomState(0)
+    x_real = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    x_pad = jnp.full((2, 64, 64, 3), 50.0, jnp.float32)
+    x_full = jnp.concatenate([x_real, x_pad])
+    valid = jnp.asarray([True, True, False, False])
+    masked = tester._probs_impl(host_vars, x_full, (64, 64), valid=valid)[:2]
+    # expected: the SAME [4,...] forward (XLA tiles convs differently per
+    # batch size, so a [2,...] run is not bit-comparable) with min/max taken
+    # over the real rows only
+    from rnd_semantic_segmentation_tpu.ops import resize_bilinear
+    params = {n: dict(v)["params"] for n, v in host_vars.items()}
+    stats = {n: {k: c for k, c in dict(v).items() if k != "params"}
+             for n, v in host_vars.items()}
+    outputs, _, _ = tester.segmentor.forward(params, stats, x_full,
+                                             label_size=(64, 64), train=False)
+    out = resize_bilinear(outputs[-1].astype(jnp.float32), (64, 64),
+                          align_corners=False)
+    p = jax.nn.sigmoid(out)[..., 0]
+    pmin, pmax = p[:2].min(), p[:2].max()
+    pr = (p[:2] - pmin) / (pmax - pmin + 1e-8)
+    expected = jnp.stack([1 - pr, pr], axis=-1)
+    # an UNMASKED min/max would be off by O(0.1) here (the 50.0 rows drive
+    # sigmoid toward 1 and stretch the rescale range)
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(expected),
+                               atol=1e-5)
