@@ -39,7 +39,7 @@ def build(model, nc, dtype):
     cfg.MODEL.DTYPE = dtype
     spec = build_segmentor(cfg)
     seg = Segmentor(spec, nc)
-    return seg
+    return seg, cfg
 
 
 def bench_mode(seg, size, batch, mode, iters=20, warmup=3, min_channels=None):
@@ -116,7 +116,7 @@ def main():
         model = case_name.split("@")[0]
         preds = {}
         for mode in ("bf16", "int8"):
-            seg = build(model, nc, "bfloat16")
+            seg, case_cfg = build(model, nc, "bfloat16")
             try:
                 ips, resolved, pred = bench_mode(seg, size, batch, mode,
                                                  iters=args.iters,
@@ -140,9 +140,10 @@ def main():
             # what would TEST.QUANT=auto resolve here?  Same policy as
             # eval/tester.py + serve/server.py: geometry gate
             # (resolve_mode) then the calibration argmax-agreement floor.
-            from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+            # Gates come from the SAME cfg the benched case was built with,
+            # so per-case QUANT_* overrides change this column too.
             from rnd_semantic_segmentation_tpu.serve.quant import resolve_mode
-            _c = get_default_cfg().TEST
+            _c = case_cfg.TEST
             h, w = (size, size) if isinstance(size, int) else size
             geo = resolve_mode("auto", area=h * w,
                                max_area=_c.QUANT_MAX_AREA)

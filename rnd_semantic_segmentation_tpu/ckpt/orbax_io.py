@@ -92,7 +92,12 @@ def load_checkpoint_variables(path: str,
     modules it contains — in particular a FADA checkpoint's extra ``model_D``
     when evaluating just the segmentor, matching the reference testers
     loading the combined 6-state-dict ``.pth`` (aspp_tester.py:25-31,
-    aspp_fada.py:29-40).  Returns ({module: {"params", **stats}}, epoch)."""
+    aspp_fada.py:29-40).
+
+    Returns ({module: {"params", **stats}}, saved_epoch).  NOTE: the second
+    element is the epoch the checkpoint was SAVED at — unlike
+    ``load_checkpoint``, which returns the resume START epoch (saved+1).
+    Callers resuming training from this path must add 1 themselves."""
     wait_for_checkpoints()
     restored = _checkpointer().restore(os.path.abspath(path))
     out = {}
@@ -108,8 +113,12 @@ def checkpoint_name(output_dir: str, prefix: str, epoch: int) -> str:
 
 
 def prune_checkpoints(output_dir: str, prefix: str, keep: int) -> None:
-    """Keep only the newest ``keep`` checkpoints of ``prefix`` (0 = keep all)."""
-    if keep <= 0 or not os.path.isdir(output_dir):
+    """Keep only the newest ``keep`` checkpoints of ``prefix``.
+
+    ``keep < 0`` keeps all; ``keep == 0`` deletes all (used by the trainer's
+    prune-to-keep-1-before-save pattern so retention lands exactly at
+    SOLVER.KEEP_CHECKPOINTS after the save completes)."""
+    if keep < 0 or not os.path.isdir(output_dir):
         return
     import shutil
 
@@ -118,7 +127,8 @@ def prune_checkpoints(output_dir: str, prefix: str, keep: int) -> None:
         m = re.fullmatch(rf"{re.escape(prefix)}-(\d+)", entry)
         if m:
             found.append((int(m.group(1)), entry))
-    for _, entry in sorted(found)[:-keep]:
+    doomed = sorted(found)[:-keep] if keep > 0 else sorted(found)
+    for _, entry in doomed:
         shutil.rmtree(os.path.join(output_dir, entry), ignore_errors=True)
 
 

@@ -117,14 +117,19 @@ class Tester:
     # -- checkpoint ----------------------------------------------------------
     def _load_checkpoint(self):
         path = self.cfg.resume
-        if path == "latest":
-            # same recovery semantics as the Trainer (resume-from-latest)
+        if path in ("", "latest"):
+            # same recovery semantics as the Trainer (resume-from-latest);
+            # empty resume means "evaluate the newest checkpoint in
+            # OUTPUT_DIR" — the natural train_src.py -> test.py loop
             from ..ckpt.orbax_io import latest_checkpoint
-            path = latest_checkpoint(self.cfg.OUTPUT_DIR, self.spec.ckpt_prefix)
-            if not path:
+            found = latest_checkpoint(self.cfg.OUTPUT_DIR,
+                                      self.spec.ckpt_prefix)
+            if not found:
                 raise FileNotFoundError(
-                    f"resume=latest: no {self.spec.ckpt_prefix}-* checkpoint "
-                    f"in {self.cfg.OUTPUT_DIR}")
+                    f"resume={path or '(empty)'}: no {self.spec.ckpt_prefix}-* "
+                    f"checkpoint in {self.cfg.OUTPUT_DIR}; pass "
+                    f"`resume <path>` or train first")
+            path = found
         self.logger.info(f"Loading checkpoint from {path}")
         if path.endswith(".pth"):
             self.variables = self._load_torch_checkpoint(path)
@@ -246,6 +251,18 @@ class Tester:
         if requested == "none":
             self._qctx = None
             return None
+        if jax.process_count() > 1:
+            # Calibration feeds process-LOCAL loader batches to jitted probes
+            # over mesh-replicated variables (jit would raise on the mix), and
+            # per-process activation stats would yield divergent quant scales
+            # anyway.  Quantized eval is a single-process serving feature.
+            self.logger.warning(
+                f"TEST.QUANT={requested}: quantized eval is not supported "
+                f"under multi-process eval (process_count="
+                f"{jax.process_count()}) — serving bf16")
+            self.quant_report["reason"] = "multiprocess"
+            self._qctx = None
+            return None
         w, h = self.cfg.INPUT.INPUT_SIZE_TEST
         mode = resolve_mode(requested, area=int(w) * int(h),
                             max_area=self.cfg.TEST.QUANT_MAX_AREA)
@@ -315,7 +332,11 @@ class Tester:
         """Pad a short final batch (drop_last=False) to the compiled batch
         size with ignore-labeled rows: one jitted shape, zero metric effect."""
         n = int(batch["image"].shape[0])
-        if n >= bs:
+        assert n <= bs, (
+            f"loader produced a batch of {n} rows but the compiled eval step "
+            f"expects at most {bs} (inferred local batch size); pass a loader "
+            f"with a batch_size attribute or lower TEST.BATCH_SIZE")
+        if n == bs:
             return batch, n
         pad = bs - n
         image = np.concatenate(

@@ -170,10 +170,13 @@ class Trainer:
                     and process_is_primary()):
                 # prune BEFORE initiating the (possibly async) save: pruning
                 # never races the in-flight serialization and a crash
-                # mid-save still leaves KEEP_CHECKPOINTS complete dirs
+                # mid-save still leaves KEEP_CHECKPOINTS-1 complete dirs;
+                # prune to keep-1 so the save lands retention at exactly
+                # SOLVER.KEEP_CHECKPOINTS (0 = keep all)
                 from ..ckpt.orbax_io import prune_checkpoints
-                prune_checkpoints(cfg.OUTPUT_DIR, self.spec.ckpt_prefix,
-                                  cfg.SOLVER.KEEP_CHECKPOINTS)
+                if cfg.SOLVER.KEEP_CHECKPOINTS > 0:
+                    prune_checkpoints(cfg.OUTPUT_DIR, self.spec.ckpt_prefix,
+                                      cfg.SOLVER.KEEP_CHECKPOINTS - 1)
                 path = checkpoint_name(cfg.OUTPUT_DIR, self.spec.ckpt_prefix, epoch)
                 save_checkpoint(path, self.state, epoch,
                                 wait=not cfg.SOLVER.ASYNC_CHECKPOINT)

@@ -78,8 +78,10 @@ def test_prune_checkpoints(tmp_path):
     prune_checkpoints(str(tmp_path), "Aspp", keep=2)
     left = sorted(os.listdir(tmp_path))
     assert left == ["Aspp-3", "Aspp-4", "Gald-1"]
-    prune_checkpoints(str(tmp_path), "Aspp", keep=0)  # no-op
+    prune_checkpoints(str(tmp_path), "Aspp", keep=-1)  # keep all
     assert sorted(os.listdir(tmp_path)) == ["Aspp-3", "Aspp-4", "Gald-1"]
+    prune_checkpoints(str(tmp_path), "Aspp", keep=0)  # delete all of prefix
+    assert sorted(os.listdir(tmp_path)) == ["Gald-1"]
 
 
 def test_async_save_roundtrip(tmp_path):
