@@ -79,7 +79,8 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = max(num_workers, 1)
         self.collate_fn = collate_fn or default_collate
-        self._rng = np.random.RandomState(seed)
+        self.seed = seed
+        self._epoch = 0  # advanced per __iter__; see set_epoch
         self.process_shard = process_shard
         if process_shard:
             if process_index is None or process_count is None:
@@ -99,10 +100,23 @@ class DataLoader:
         n = self._local_len()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle order for the NEXT iteration to a pure function of
+        (seed, epoch) — torch DistributedSampler.set_epoch semantics.  This
+        makes resume-from-checkpoint replay-exact: an interrupted run that
+        restarts at epoch k shuffles epoch k identically to an uninterrupted
+        run (tests/test_preemption.py), and multi-process shards stay
+        consistent because every process derives the same global order."""
+        self._epoch = int(epoch)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(order)
+            order = np.random.default_rng(
+                (self.seed, self._epoch)).permutation(len(self.dataset))
+            self._epoch += 1  # callers that never set_epoch still get a
+            #                   fresh shuffle each pass
+        else:
+            order = np.arange(len(self.dataset))
         if self.process_shard:
             per = len(self.dataset) // self.process_count
             order = order[self.process_index::self.process_count][:per]

@@ -137,6 +137,9 @@ class Trainer:
         iteration = int(self.state.step)
         for epoch in range(self.start_epoch, cfg.SOLVER.EPOCHS + 1):
             epoch0 = jnp.float32(epoch - 1)
+            if hasattr(self.train_loader, "set_epoch"):
+                # replay-exact resume: shuffle order is f(seed, epoch)
+                self.train_loader.set_epoch(epoch)
             it = device_prefetch(iter(self.train_loader), cfg.DATA_PIPE.PREFETCH,
                                  sharding=self.batch_sharding)
             for i, batch in enumerate(it):
@@ -304,6 +307,9 @@ class FadaTrainer:
         iteration = int(self.state.seg.step)
         for epoch in range(self.start_epoch, cfg.SOLVER.EPOCHS + 1):
             epoch0 = jnp.float32(epoch - 1)
+            for ldr in (self.src_loader, self.tgt_loader):
+                if hasattr(ldr, "set_epoch"):
+                    ldr.set_epoch(epoch)  # replay-exact resume
             src_it = device_prefetch(iter(self.src_loader), cfg.DATA_PIPE.PREFETCH,
                                      sharding=self.batch_sharding)
             tgt_it = device_prefetch(iter(self.tgt_loader), cfg.DATA_PIPE.PREFETCH,
