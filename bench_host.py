@@ -74,6 +74,96 @@ def bench_case(paths, out_size, threads, reps=3):
     return row
 
 
+def _family_device_rates():
+    """Measured on-chip train rates (BENCH_FAMILIES.json when present)."""
+    fallback = {"deeplab_resnet101": 106.2, "gald_hardnet68": 137.3,
+                "pranet_res2net50": 390.0, "attn_efficientnet-b2": 146.8}
+    path = os.path.join(REPO, "BENCH_FAMILIES.json")
+    try:
+        with open(path) as f:
+            for row in json.load(f)["rows"]:
+                if "train_images_per_sec" in row:
+                    fallback[row["model"]] = row["train_images_per_sec"]
+    except Exception:
+        pass
+    return fallback
+
+
+# (family case, aug pipeline, train size, batch) matching bench_all geometry
+OVERLAP_CASES = [
+    ("deeplab_resnet101", "aspp", 512, 16),
+    ("gald_hardnet68", "none", 512, 16),
+    ("pranet_res2net50", "pra", 352, 16),
+    ("attn_efficientnet-b2", "attn", 512, 16),
+]
+
+
+def make_kvasir_corpus(n, w=1280, h=720):
+    """Kvasir-style on-disk layout the real KvasirDataSet globs:
+    <root>/kvasir/fold_1/{images,masks}/img_i.png (cross_val=0 -> train)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp(prefix="bench_overlap_")
+    img_dir = os.path.join(tmp, "kvasir", "fold_1", "images")
+    msk_dir = os.path.join(tmp, "kvasir", "fold_1", "masks")
+    os.makedirs(img_dir)
+    os.makedirs(msk_dir)
+    base = rng.rand(h // 8 + 1, w // 8 + 1, 3)
+    for i in range(n):
+        shift = rng.randint(0, 8, 2)
+        arr = np.kron(np.roll(base, shift, axis=(0, 1)), np.ones((8, 8, 1)))
+        arr = (arr[:h, :w] * 255).astype(np.uint8)
+        Image.fromarray(arr).save(f"{img_dir}/img_{i}.png")
+        Image.fromarray((arr[..., 0] > 128).astype(np.uint8)).save(
+            f"{msk_dir}/img_{i}.png")
+    return tmp
+
+
+def bench_overlap(data_root, repeats=6, workers=None):
+    """The measured overlap model (VERDICT r3 item 5): real
+    decode->augment->collate pipeline vs a consumer paced at each family's
+    chip-measured train rate; emits device_idle_fraction + input_bound per
+    family.  Same accounting as Trainer.train's `data` meter."""
+    from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+    from rnd_semantic_segmentation_tpu.data import (
+        DataLoader, build_collate_fn, build_dataset)
+    from rnd_semantic_segmentation_tpu.data.overlap import (
+        measure_overlap, stage_times)
+
+    rates = _family_device_rates()
+    ncores = os.cpu_count() or 1
+    workers = workers or max(ncores, 2)
+    out = []
+    for model, aug, size, batch in OVERLAP_CASES:
+        cfg = get_default_cfg()
+        cfg.MODEL.NAME = model
+        cfg.MODEL.NUM_CLASSES = 2
+        cfg.DATASETS.SOURCE_TRAIN = "kvasir_train"
+        cfg.DATASETS.DATASET_DIR = data_root
+        cfg.AUG.NAME = aug
+        if aug == "attn":
+            cfg.AUG.COLLATE = "attn"
+        cfg.INPUT.SOURCE_INPUT_SIZE_TRAIN = (size, size)
+        cfg.INPUT.TRAINSIZE = size
+        cfg.DATA_PIPE.NATIVE_DECODE = True
+        ds = build_dataset(cfg, "train", True)
+        stage = stage_times(ds, aug)
+        ds.image_paths = ds.image_paths * repeats  # enough steady-state batches
+        loader = DataLoader(ds, batch_size=batch, shuffle=True,
+                            drop_last=True, num_workers=workers,
+                            collate_fn=build_collate_fn(cfg))
+        row = {"model": model, "aug": aug, "size": size, "batch": batch,
+               "workers": workers, **stage,
+               **measure_overlap(loader, rates[model])}
+        # how many decode workers a host needs so the chip never starves
+        row["workers_needed"] = round(
+            rates[model] * stage["getitem_ms_per_item"] / 1000, 2)
+        out.append(row)
+        print(json.dumps(row), flush=True)
+    return out
+
+
 def main():
     ncores = os.cpu_count() or 1
     rows = []
@@ -104,7 +194,16 @@ def main():
         "workers_needed_deeplab_train": round(107 / max(one_t_small, 1e-9), 2),
         "workers_needed_gald_eval": round(18 / max(one_t_big, 1e-9), 2),
     }
+    # measured overlap model: real pipeline vs chip-rate consumer, per family
+    corpus_root = make_kvasir_corpus(32)
+    result["overlap"] = bench_overlap(corpus_root)
+    result["overlap_verdict"] = {
+        r["model"]: {"input_bound_on_this_host": r["input_bound"],
+                     "device_idle_fraction": r["device_idle_fraction"],
+                     "workers_needed_on_manycore_host": r["workers_needed"]}
+        for r in result["overlap"]}
     print(json.dumps({"summary": result["verdict"],
+                      "overlap_verdict": result["overlap_verdict"],
                       "host_cores": ncores}), flush=True)
     with open(os.path.join(REPO, "BENCH_HOST.json"), "w") as f:
         json.dump(result, f, indent=1)

@@ -142,8 +142,17 @@ class Trainer:
                 self.train_loader.set_epoch(epoch)
             it = device_prefetch(iter(self.train_loader), cfg.DATA_PIPE.PREFETCH,
                                  sharding=self.batch_sharding)
-            for i, batch in enumerate(it):
+            while True:
                 tic = time.time()
+                try:
+                    # explicit fetch so host-pipeline stalls are visible: the
+                    # `data` meter is the device-idle (input-starvation) time
+                    # per step; `time`-`data` is compute (BENCH_HOST.json's
+                    # overlap model uses the same accounting)
+                    batch = next(it)
+                except StopIteration:
+                    break
+                data_time = time.time() - tic
                 if self.device_aug is not None:
                     batch = self.device_aug(batch, iteration)
                 for rate in rates:
@@ -160,7 +169,8 @@ class Trainer:
                 iteration += 1
                 loss = float(metrics["loss"])
                 lr = float(metrics["lr"])
-                meters.update(loss_seg=loss, time=time.time() - tic)
+                meters.update(loss_seg=loss, time=time.time() - tic,
+                              data=data_time)
                 self.lr_data.append(lr)
                 self.loss_data.append(loss)
                 if iteration % 20 == 0 or iteration == max_iter:
@@ -314,8 +324,14 @@ class FadaTrainer:
                                      sharding=self.batch_sharding)
             tgt_it = device_prefetch(iter(self.tgt_loader), cfg.DATA_PIPE.PREFETCH,
                                      sharding=self.batch_sharding)
-            for src_batch, tgt_batch in zip(src_it, tgt_it):
+            pairs = zip(src_it, tgt_it)
+            while True:
                 tic = time.time()
+                try:
+                    src_batch, tgt_batch = next(pairs)
+                except StopIteration:
+                    break
+                data_time = time.time() - tic  # input-starvation accounting
                 self.state, metrics = self.step_fn(
                     self.state,
                     {k: v for k, v in src_batch.items() if k != "name"},
@@ -323,7 +339,7 @@ class FadaTrainer:
                     epoch0)
                 iteration += 1
                 vals = {k: float(v) for k, v in metrics.items()}
-                meters.update(time=time.time() - tic,
+                meters.update(time=time.time() - tic, data=data_time,
                               **{k: v for k, v in vals.items()
                                  if k.startswith("loss")})
                 for k in series:
