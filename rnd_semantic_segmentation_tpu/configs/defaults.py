@@ -134,6 +134,10 @@ _C.TEST.QUANT_AGREEMENT_FLOOR = 0.95
 # bf16; odd widths are zero-padded to the int8 tile boundary in-kernel
 # (v5e microbench in serve/quant.py QuantConfig.min_channels/pad_channels)
 _C.TEST.QUANT_MIN_CHANNELS = 64
+# when TEST.QUANT=auto misses the agreement floor, greedily exclude up to
+# this many worst-quantizing convs (per-layer sensitivity repair,
+# serve/quant.py repair_exclusions) before falling back to bf16.  0 disables.
+_C.TEST.QUANT_REPAIR_MAX = 6
 
 # ---------------------------------------------------------------------------
 # Distribution / mesh (TPU-native; no reference counterpart — replaces

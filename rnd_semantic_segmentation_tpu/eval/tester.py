@@ -297,16 +297,35 @@ class Tester:
             self.quant_report["agreement"] = agreement
             if agreement < floor:
                 if requested == "auto":
-                    self.logger.info(
-                        f"TEST.QUANT=auto: argmax agreement {agreement:.3f} "
-                        f"< floor {floor} — serving bf16")
-                    self.quant_report["reason"] = "accuracy"
-                    self._qctx = None
-                    return None
-                self.logger.warning(
-                    f"TEST.QUANT={requested}: argmax agreement "
-                    f"{agreement:.3f} < floor {floor}; honoring the explicit "
-                    f"request — set TEST.QUANT auto to gate on accuracy")
+                    # per-layer sensitivity repair before giving up on int8:
+                    # exclude the worst-quantizing convs (they fall back to
+                    # bf16) and re-check — one outlier layer no longer forces
+                    # the whole model off the int8 path (serve/quant.py).
+                    max_ex = int(self.cfg.TEST.QUANT_REPAIR_MAX)
+                    if max_ex > 0:
+                        from ..serve.quant import repair_exclusions
+                        probs = lambda xx, l: self._probs_impl(
+                            self.variables, xx, l)
+                        agreement, excluded = repair_exclusions(
+                            probs, x, ls, ctx, floor, max_exclude=max_ex,
+                            logger=self.logger)
+                        self.quant_report["agreement"] = agreement
+                        self.quant_report["excluded"] = excluded
+                    if agreement < floor:
+                        self.logger.info(
+                            f"TEST.QUANT=auto: argmax agreement "
+                            f"{agreement:.3f} < floor {floor} even after "
+                            f"repair — serving bf16")
+                        self.quant_report["reason"] = "accuracy"
+                        self._qctx = None
+                        return None
+                    self.quant_report["reason"] = "repaired"
+                else:
+                    self.logger.warning(
+                        f"TEST.QUANT={requested}: argmax agreement "
+                        f"{agreement:.3f} < floor {floor}; honoring the "
+                        f"explicit request — set TEST.QUANT auto to gate on "
+                        f"accuracy")
         self.quant_report["mode"] = mode
         self.logger.info(f"serving quantization: {quant_error_report(ctx)}")
         self._qctx = ctx

@@ -90,9 +90,19 @@ class QuantContext:
     # per-conv input absmax collected during a (possibly jit-traced) forward;
     # values are tracers under jit — return them from the traced fn to realise
     traced: Dict[str, List[jnp.ndarray]] = field(default_factory=dict)
+    # calibrated-but-excluded convs (sensitivity repair, repair_exclusions):
+    # these take the normal bf16/f32 path even though a scale exists
+    exclude: set = field(default_factory=set)
+    # probe mode: quantized convs additionally record their LOCAL relative
+    # output error vs the unquantized conv on the same (quantized-upstream)
+    # input — one forward yields a per-conv error ranking (tracers under jit)
+    probe: bool = False
+    err_traced: Dict[str, jnp.ndarray] = field(default_factory=dict)
 
     # -- path filtering ------------------------------------------------------
     def _skipped(self, path: str) -> bool:
+        if path in self.exclude:
+            return True
         return any(fnmatch.fnmatch(path, p) for p in self.config.skip_patterns)
 
     # -- calibration ---------------------------------------------------------
@@ -174,6 +184,12 @@ class QuantContext:
         y = y * (sx * sw.reshape((1, 1, 1, -1)))
         if bias is not None:
             y = y + bias.astype(jnp.float32)
+        if self.probe:
+            yf = lax.conv_general_dilated(xf, kf, **conv_kwargs)
+            if bias is not None:
+                yf = yf + bias.astype(jnp.float32)
+            self.err_traced[path] = (
+                jnp.linalg.norm(y - yf) / (jnp.linalg.norm(yf) + 1e-12))
         return y.astype(x.dtype)
 
 
@@ -228,15 +244,87 @@ def argmax_agreement(probs_fn, x, label_size, ctx: "QuantContext") -> float:
     """Fraction of pixels whose argmax matches between the quantized and the
     f32 path — the accuracy half of the ``auto`` policy.  ``probs_fn(x,
     label_size)`` must be UNJITTED (it consults ``current_quant()`` at trace
-    time); both paths get a fresh jit so no stale cache can leak across the
-    scope boundary."""
-    with quant_scope(None):
-        ref = jnp.argmax(jax.jit(probs_fn, static_argnums=1)(x, label_size),
-                         axis=-1)
-    with quant_scope(ctx):
-        quant = jnp.argmax(jax.jit(probs_fn, static_argnums=1)(x, label_size),
-                           axis=-1)
+    time).
+
+    Each path is traced through a function object created HERE, fresh per
+    call: pjit's dispatch cache is keyed on the callable's identity (not the
+    quant contextvar), so ``jax.jit(probs_fn)`` in both scopes would hand the
+    second scope the FIRST scope's compiled f32 graph and the comparison
+    would be vacuously 1.0 (the quant-scope staleness trap, caught by
+    tests/test_quant.py::test_agreement_defeats_jit_cache)."""
+    ref = _argmax_under(None, probs_fn, x, label_size)
+    quant = _argmax_under(ctx, probs_fn, x, label_size)
     return float(jnp.mean((ref == quant).astype(jnp.float32)))
+
+
+def _argmax_under(ctx, probs_fn, x, label_size) -> jnp.ndarray:
+    """Trace+run ``probs_fn`` under ``quant_scope(ctx)`` through a function
+    object created here (fresh per call — see argmax_agreement docstring)."""
+    def _trace(xx):
+        return jnp.argmax(probs_fn(xx, label_size), axis=-1)
+
+    with quant_scope(ctx):
+        return jax.jit(_trace)(x)
+
+
+def quant_sensitivity(probs_fn, x, label_size,
+                      ctx: "QuantContext") -> Dict[str, float]:
+    """Per-conv local quantization error in ONE jitted forward.
+
+    Runs the quantized graph in probe mode: every quantized conv also
+    computes the unquantized conv on the same (quantized-upstream) input and
+    records the relative output error.  Returns {path: rel_err} — the
+    ranking that drives ``repair_exclusions``.  One compile total, vs one
+    compile per conv for leave-one-out.
+    """
+    def _probe(xx):
+        pctx = QuantContext(config=ctx.config, mode=ctx.mode,
+                            act_scales=dict(ctx.act_scales),
+                            exclude=set(ctx.exclude), probe=True)
+        with quant_scope(pctx):
+            probs_fn(xx, label_size)
+        return pctx.err_traced
+
+    errs = jax.device_get(jax.jit(_probe)(x))
+    return {p: float(v) for p, v in errs.items()}
+
+
+def repair_exclusions(probs_fn, x, label_size, ctx: "QuantContext",
+                      floor: float, max_exclude: int = 6,
+                      logger=None) -> Tuple[float, List[str]]:
+    """Greedy per-layer sensitivity repair: exclude the highest-local-error
+    convs one at a time (they fall back to bf16/f32) until calibration-batch
+    argmax agreement reaches ``floor`` or ``max_exclude`` is hit.
+
+    Returns (final_agreement, excluded_paths); ``ctx.exclude`` is mutated in
+    place so the repaired context is ready to serve.  The alternative to the
+    all-or-nothing policy this replaces: one outlier-heavy conv (e.g. an
+    attention head) no longer forces the whole model back to bf16.
+    """
+    ref = _argmax_under(None, probs_fn, x, label_size)  # f32 path: compile once
+
+    def _agree() -> float:
+        quant = _argmax_under(ctx, probs_fn, x, label_size)
+        return float(jnp.mean((ref == quant).astype(jnp.float32)))
+
+    agreement = _agree()
+    excluded: List[str] = []
+    while agreement < floor and len(excluded) < max_exclude:
+        # re-attribute each round: once an offender is excluded, the next
+        # worst layer's error is only visible on the REPAIRED graph (e.g. a
+        # downstream conv whose scale was poisoned by the same outlier)
+        errs = quant_sensitivity(probs_fn, x, label_size, ctx)
+        if not errs:
+            break
+        worst = max(errs, key=errs.get)
+        ctx.exclude.add(worst)
+        excluded.append(worst)
+        agreement = _agree()
+        if logger is not None:
+            logger.info(
+                f"quant repair: excluded {worst} (local err "
+                f"{errs[worst]:.4f}) -> agreement {agreement:.4f}")
+    return agreement, excluded
 
 
 @contextlib.contextmanager

@@ -159,6 +159,89 @@ def test_tester_quant_e2e(tmp_path):
     assert abs(s_int8["macro_miou"] - s_f32["macro_miou"]) < 0.05
 
 
+class OutlierNet(nn.Module):
+    """conv_b's input carries a constant spatial spike ~1000x the typical
+    activation, so a per-tensor absmax scale quantizes everything else to
+    ~zero — the classic one-bad-layer PTQ failure that sensitivity repair
+    (serve/quant.py repair_exclusions) must isolate.  Measured here:
+    argmax agreement drops to ~0.37 with conv_b quantized, recovers to 1.0
+    with it excluded."""
+
+    @nn.compact
+    def __call__(self, x):
+        h = jax.nn.relu(Conv2d(16, 3, padding=1, name="conv_a")(x))
+        spike = jnp.zeros_like(h).at[:, 0, 0, 0].set(3000.0)
+        h = Conv2d(16, 3, padding=1, name="conv_b")(h + spike)
+        h = jax.nn.relu(h)
+        return Conv2d(4, 1, name="conv_head")(h)
+
+
+def _outlier_setup(seed=5):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(3 * rng.randn(2, 16, 16, 3).astype(np.float32))
+    model = OutlierNet()
+    variables = model.init(jax.random.PRNGKey(seed), x)
+    ctx = _calibrated_ctx(model, variables, x, "int8")
+
+    def probs(xx, label_size):
+        del label_size
+        return jax.nn.softmax(model.apply(variables, xx), axis=-1)
+
+    return model, variables, x, ctx, probs
+
+
+def test_agreement_defeats_jit_cache():
+    """Regression: pjit caches on callable identity, not the quant
+    contextvar — jitting the SAME probs_fn object under both scopes serves
+    the f32 graph to the quant path and reports agreement 1.0 no matter how
+    broken quantization is.  argmax_agreement must trace through fresh
+    function objects (the quant-scope staleness trap, CLAUDE.md)."""
+    from rnd_semantic_segmentation_tpu.serve.quant import argmax_agreement
+    model, variables, x, ctx, probs = _outlier_setup()
+    a = argmax_agreement(probs, x, None, ctx)
+    # ground truth computed eagerly (no jit cache involved)
+    y_f = model.apply(variables, x)
+    with quant_scope(ctx):
+        y_q = model.apply(variables, x)
+    eager = float(np.mean(np.asarray(jnp.argmax(y_f, -1))
+                          == np.asarray(jnp.argmax(y_q, -1))))
+    assert abs(a - eager) < 0.02, (a, eager)
+    assert a < 0.9, f"outlier conv must break agreement, got {a}"
+
+
+def test_quant_sensitivity_ranks_outlier_conv_worst():
+    _, _, x, ctx, probs = _outlier_setup()
+    from rnd_semantic_segmentation_tpu.serve.quant import quant_sensitivity
+    errs = quant_sensitivity(probs, x, None, ctx)
+    assert len(errs) == 3, errs
+    worst = max(errs, key=errs.get)
+    assert "conv_b" in worst, errs
+
+
+def test_repair_exclusions_recovers_agreement():
+    _, _, x, ctx, probs = _outlier_setup()
+    from rnd_semantic_segmentation_tpu.serve.quant import (
+        argmax_agreement, repair_exclusions)
+    before = argmax_agreement(probs, x, None, ctx)
+    assert before < 0.9, f"setup must start below the floor, got {before}"
+    agreement, excluded = repair_exclusions(probs, x, None, ctx,
+                                            floor=0.99, max_exclude=2)
+    assert agreement >= before
+    assert agreement >= 0.99, (before, agreement, excluded)
+    assert any("conv_b" in p for p in excluded), excluded
+    # the repaired context serves with the exclusion active
+    assert ctx.exclude == set(excluded)
+
+
+def test_excluded_conv_takes_f32_path():
+    model, variables, x, ctx, _ = _outlier_setup()
+    y_ref = model.apply(variables, x)
+    ctx.exclude = set(ctx.act_scales)  # exclude everything
+    with quant_scope(ctx):
+        y_q = model.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(y_q), np.asarray(y_ref))
+
+
 def test_min_channels_gate_keeps_small_convs_bf16():
     """v5e measurement: small-channel int8 convs are slower than bf16 —
     QuantConfig.min_channels must keep them on the normal path entirely
