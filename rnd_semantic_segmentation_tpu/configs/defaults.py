@@ -24,6 +24,12 @@ _C.MODEL.FREEZE_BN = False                # fold BN to frozen affine on the back
 # TPU-native: compute dtype for the forward/backward pass ("bfloat16"|"float32").
 # Params and optimizer state stay float32; logits are always float32.
 _C.MODEL.DTYPE = "bfloat16"
+# TPU-native: convs whose channel widths are all <= this execute via the
+# space-to-depth lowering (ops/s2d.py — 2x2 spatial packed into channels for
+# ~4x better MXU tile occupancy on narrow convs; exact numerics).  0 = off.
+# Relevant for pranet (Res2Net 26-208w branches, 32w RFB) and the attn UNet
+# decoder (8-120w); set from measurement, not by default.
+_C.MODEL.S2D_MAX_CHANNELS = 0
 
 # ---------------------------------------------------------------------------
 # Input / preprocessing

@@ -80,6 +80,19 @@ class Conv2d(nn.Module):
             qy = qctx.conv2d(module_path(self), x, kernel, bias, conv_kwargs)
             if qy is not None:
                 return qy
+        # narrow-conv space-to-depth lowering (ops/s2d.py; opt-in via
+        # MODEL.S2D_MAX_CHANNELS — same trace-time-policy caveats as quant)
+        from ..ops.s2d import conv2d_s2d, s2d_applies
+        if qctx is None and s2d_applies(
+                x.shape, kernel.shape, conv_kwargs["window_strides"],
+                conv_kwargs["padding"], conv_kwargs["rhs_dilation"],
+                self.groups):
+            y = conv2d_s2d(x.astype(dtype), kernel.astype(dtype),
+                           conv_kwargs["window_strides"],
+                           conv_kwargs["padding"])
+            if bias is not None:
+                y = y + bias.astype(dtype)
+            return y
         y = lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype), **conv_kwargs)
         if bias is not None:

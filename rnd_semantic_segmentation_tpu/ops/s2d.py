@@ -34,7 +34,9 @@ spatial dims where size+padding is even.  ``s2d_supported`` gates callers.
 
 from __future__ import annotations
 
-from typing import Tuple
+import contextlib
+import contextvars
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from jax import lax
@@ -145,3 +147,41 @@ def conv2d_s2d(x: jnp.ndarray, kernel: jnp.ndarray, stride=(1, 1),
     oh = (h + sum(padding[0]) - kernel.shape[0]) // 2 + 1
     ow = (w + sum(padding[1]) - kernel.shape[1]) // 2 + 1
     return yb[:, :oh, :ow]
+
+
+# ------------------------------------------------------------------ policy ----
+# Opt-in execution policy consulted by models.layers.Conv2d at TRACE time
+# (same contextvar pattern, and the same jit-staleness caveat, as
+# serve/quant.py): narrow convs below the channel threshold take the
+# space-to-depth lowering.  Enabled per-run via MODEL.S2D_MAX_CHANNELS
+# (models/build.py) — keep 0 until chip microbenches justify a threshold.
+
+_S2D_POLICY: contextvars.ContextVar = contextvars.ContextVar(
+    "segtpu_s2d_policy", default=0)
+
+
+def set_s2d_policy(max_channels: int) -> None:
+    """Process-default policy (build-time); 0 disables."""
+    _S2D_POLICY.set(int(max_channels))
+
+
+@contextlib.contextmanager
+def s2d_scope(max_channels: int):
+    token = _S2D_POLICY.set(int(max_channels))
+    try:
+        yield
+    finally:
+        _S2D_POLICY.reset(token)
+
+
+def s2d_applies(x_shape, kernel_shape, stride, padding, dilation,
+                groups: int) -> bool:
+    """Trace-time gate for Conv2d: policy threshold + structural support."""
+    mc = _S2D_POLICY.get()
+    if not mc:
+        return False
+    kh, kw, cig, co = kernel_shape
+    if max(cig * groups, co) > mc or (kh == 1 and kw == 1):
+        return False  # wide enough already / 1x1 gains nothing (block-diag)
+    return s2d_supported(x_shape, kernel_shape, stride, padding, dilation,
+                         groups)

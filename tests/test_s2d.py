@@ -75,6 +75,24 @@ def test_conv2d_s2d_grads_match():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_pranet_logits_invariant_under_s2d_policy():
+    """Full-model integration: PraNet forward under the s2d execution policy
+    must match the standard lowering (f32, same params) — the rewrite is a
+    layout choice, never a semantic one."""
+    from rnd_semantic_segmentation_tpu.models.pranet import PraNet
+    from rnd_semantic_segmentation_tpu.ops.s2d import s2d_scope
+
+    m = PraNet()
+    x = _rand((1, 64, 64, 3), seed=9)
+    vars_ = m.init(jax.random.PRNGKey(0), x)
+    outs_ref = m.apply(vars_, x)
+    with s2d_scope(256):
+        outs_s2d = jax.jit(lambda v, xx: m.apply(v, xx))(vars_, x)
+    for a, b in zip(outs_ref, outs_s2d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_s2d_supported_gates():
     x_shape, k_shape = (2, 16, 16, 26), (3, 3, 26, 26)
     ok = lambda **kw: s2d_supported(
