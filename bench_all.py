@@ -31,6 +31,9 @@ CASES = [
 ]
 
 
+S2D_MAX_CHANNELS = 0  # --s2d flag: A/B the narrow-conv s2d policy (ops/s2d.py)
+
+
 def bench(name, nc, size, batch, iters=8, warmup=2):
     cfg = get_default_cfg()
     cfg.MODEL.NAME = name
@@ -38,6 +41,7 @@ def bench(name, nc, size, batch, iters=8, warmup=2):
     cfg.MODEL.FREEZE_BN = True
     cfg.SOLVER.BASE_LR = 1e-4
     cfg.SOLVER.EPOCHS = 1
+    cfg.MODEL.S2D_MAX_CHANNELS = S2D_MAX_CHANNELS
     spec = build_segmentor(cfg)
     seg = Segmentor(spec, nc)
     rng = np.random.RandomState(0)
@@ -65,6 +69,7 @@ def bench_eval(name, nc, size, batch, iters=10, warmup=2):
     cfg.MODEL.NAME = name
     cfg.MODEL.NUM_CLASSES = nc
     cfg.MODEL.FREEZE_BN = True
+    cfg.MODEL.S2D_MAX_CHANNELS = S2D_MAX_CHANNELS
     spec = build_segmentor(cfg)
     seg = Segmentor(spec, nc)
     rng = np.random.RandomState(0)
@@ -128,7 +133,15 @@ def main():
                     help="run one family only (substring of the model name, "
                          "e.g. 'gald'); skips eval/host-decode extras and "
                          "does not rewrite BENCH_FAMILIES.json")
+    ap.add_argument("--s2d", type=int, default=0,
+                    help="MODEL.S2D_MAX_CHANNELS for this run (narrow-conv "
+                         "space-to-depth A/B; 0=off)")
     args = ap.parse_args()
+    global S2D_MAX_CHANNELS
+    S2D_MAX_CHANNELS = args.s2d
+    if args.s2d and args.family is None:
+        ap.error("--s2d is a probe flag: combine with --family so the "
+                 "committed BENCH_FAMILIES.json stays default-config")
     rows = []
 
     def emit(row):

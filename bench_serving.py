@@ -42,7 +42,8 @@ def build(model, nc, dtype):
     return seg, cfg
 
 
-def bench_mode(seg, size, batch, mode, iters=20, warmup=3, min_channels=None):
+def bench_mode(seg, size, batch, mode, iters=20, warmup=3, min_channels=None,
+               repair_floor=None):
     h, w = (size, size) if isinstance(size, int) else size
     from rnd_semantic_segmentation_tpu.serve import (
         QuantConfig, calibrate_segmentor, quant_scope, resolve_mode)
@@ -64,6 +65,7 @@ def bench_mode(seg, size, batch, mode, iters=20, warmup=3, min_channels=None):
         return jnp.argmax(outputs[0].astype(jnp.float32), axis=-1)
 
     ctx = None
+    repair_info = None
     if mode in ("int8", "fake"):
         resolved = resolve_mode(mode)
         qkw = {} if min_channels is None else {"min_channels": min_channels}
@@ -71,6 +73,22 @@ def bench_mode(seg, size, batch, mode, iters=20, warmup=3, min_channels=None):
             seg, variables, [{"image": x}],
             config=QuantConfig(mode=resolved, calib_batches=1, **qkw))
         mode = resolved
+        if repair_floor:
+            # per-layer sensitivity repair (serve/quant.py): exclude the
+            # worst-quantizing convs until the agreement floor holds, then
+            # bench the REPAIRED graph
+            from rnd_semantic_segmentation_tpu.serve.quant import (
+                repair_exclusions)
+
+            def probs_fn(xx, ls):
+                outputs, _, _ = seg.forward(params, stats, xx,
+                                            label_size=ls, train=False)
+                return outputs[0].astype(jnp.float32)
+
+            agreement, excluded = repair_exclusions(
+                probs_fn, x, (h, w), ctx, float(repair_floor))
+            repair_info = {"agreement": round(agreement, 5),
+                           "excluded_convs": len(excluded)}
 
     scope = quant_scope(ctx)
     with scope:
@@ -86,6 +104,8 @@ def bench_mode(seg, size, batch, mode, iters=20, warmup=3, min_channels=None):
                                   # fetched OUTSIDE the timed region — the
                                   # 16MB device->host pull through the tunnel
                                   # is not eval throughput
+    if repair_floor:
+        return batch * iters / dt, mode, pred, repair_info
     return batch * iters / dt, mode, pred
 
 
@@ -147,11 +167,39 @@ def main():
             h, w = (size, size) if isinstance(size, int) else size
             geo = resolve_mode("auto", area=h * w,
                                max_area=_c.QUANT_MAX_AREA)
+            repaired_row = None
             if geo == "none":
                 auto, reason = "bf16", f"area {h*w} > {_c.QUANT_MAX_AREA}"
             elif agree < _c.QUANT_AGREEMENT_FLOOR:
-                auto, reason = "bf16", (f"agreement {agree:.3f} < "
-                                        f"{_c.QUANT_AGREEMENT_FLOOR}")
+                # the Tester's auto mode now attempts per-layer sensitivity
+                # repair before falling back — bench the repaired graph too
+                seg, _ = build(model, nc, "bfloat16")
+                try:
+                    r_ips, _, r_pred, r_info = bench_mode(
+                        seg, size, batch, "int8", iters=args.iters,
+                        min_channels=args.min_channels,
+                        repair_floor=_c.QUANT_AGREEMENT_FLOOR)
+                except Exception as e:
+                    r_info = {"error": f"{type(e).__name__}: {e}"[:200]}
+                if r_info and "agreement" in r_info:
+                    r_agree = float((preds["bf16"] == r_pred).mean())
+                    repaired_row = {
+                        "model": case_name, "mode": "int8_repaired",
+                        "eval_images_per_sec": round(r_ips, 2),
+                        "excluded_convs": r_info["excluded_convs"],
+                        "bf16_argmax_agreement": round(r_agree, 5)}
+                    rows.append(repaired_row)
+                    print(json.dumps(repaired_row), flush=True)
+                if (repaired_row and repaired_row["bf16_argmax_agreement"]
+                        >= _c.QUANT_AGREEMENT_FLOOR):
+                    auto = "int8_repaired"
+                    reason = (f"repaired: {repaired_row['excluded_convs']} "
+                              f"convs excluded, agreement "
+                              f"{repaired_row['bf16_argmax_agreement']:.3f}")
+                else:
+                    auto, reason = "bf16", (f"agreement {agree:.3f} < "
+                                            f"{_c.QUANT_AGREEMENT_FLOOR}"
+                                            " (repair insufficient)")
             else:
                 auto, reason = geo, "passes geometry + agreement gates"
             summary = {"model": case_name,
@@ -160,6 +208,10 @@ def main():
                                  / ok[0]["eval_images_per_sec"], 3),
                        "int8_bf16_argmax_agreement": round(agree, 5),
                        "auto_resolves": auto, "auto_reason": reason}
+            if repaired_row:
+                summary["int8_repaired_speedup_vs_bf16"] = round(
+                    repaired_row["eval_images_per_sec"]
+                    / ok[0]["eval_images_per_sec"], 3)
             rows.append(summary)
             print(json.dumps(summary), flush=True)
 

@@ -87,12 +87,12 @@ class SegmentorSpec:
 def build_segmentor(cfg, bn_axis_name: Optional[str] = None) -> SegmentorSpec:
     family, backbone = split_model_name(cfg.MODEL.NAME)
     nc = cfg.MODEL.NUM_CLASSES
-    if getattr(cfg.MODEL, "S2D_MAX_CHANNELS", 0):
-        # process-default execution policy, consulted by Conv2d at trace
-        # time (ops/s2d.py; jit caches traced without it stay standard —
-        # set before the first jit, same rule as the quant scope)
-        from ..ops.s2d import set_s2d_policy
-        set_s2d_policy(cfg.MODEL.S2D_MAX_CHANNELS)
+    # narrow-conv s2d execution policy, consulted by Conv2d at trace time
+    # (ops/s2d.py; jit caches traced without it stay standard — set before
+    # the first jit, same rule as the quant scope).  Always set, so builds
+    # with the default 0 reset any policy a previous build left behind.
+    from ..ops.s2d import set_s2d_policy
+    set_s2d_policy(getattr(cfg.MODEL, "S2D_MAX_CHANNELS", 0))
     if family == "deeplab":
         return SegmentorSpec(
             family=family, backbone=backbone,

@@ -179,12 +179,23 @@ class InferenceServer:
                                   self.tester.variables),
                 x, tuple(x.shape[1:3]), ctx)
             if agreement < floor and self.cfg.TEST.QUANT == "auto":
-                self._needs_calib = False
-                self.logger.info(
-                    f"TEST.QUANT=auto: argmax agreement {agreement:.3f} < "
-                    f"floor {floor} — serving bf16")
-                return
-            if agreement < floor:
+                # per-layer sensitivity repair before giving up (same policy
+                # as eval/tester.py make_quant_context)
+                max_ex = int(getattr(self.cfg.TEST, "QUANT_REPAIR_MAX", 0))
+                if max_ex > 0:
+                    from .quant import repair_exclusions
+                    agreement, excluded = repair_exclusions(
+                        functools.partial(type(self.tester)._probs_impl,
+                                          self.tester, self.tester.variables),
+                        x, tuple(x.shape[1:3]), ctx, floor,
+                        max_exclude=max_ex, logger=self.logger)
+                if agreement < floor:
+                    self._needs_calib = False
+                    self.logger.info(
+                        f"TEST.QUANT=auto: argmax agreement {agreement:.3f} "
+                        f"< floor {floor} even after repair — serving bf16")
+                    return
+            elif agreement < floor:
                 self.logger.warning(
                     f"TEST.QUANT={self.cfg.TEST.QUANT}: argmax agreement "
                     f"{agreement:.3f} < floor {floor}; honoring the explicit "
