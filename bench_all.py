@@ -32,6 +32,7 @@ CASES = [
 
 
 S2D_MAX_CHANNELS = 0  # --s2d flag: A/B the narrow-conv s2d policy (ops/s2d.py)
+SUBPIXEL_DECONV = False  # --subpixel: A/B the deconv phase decomposition
 
 
 def bench(name, nc, size, batch, iters=8, warmup=2):
@@ -42,6 +43,7 @@ def bench(name, nc, size, batch, iters=8, warmup=2):
     cfg.SOLVER.BASE_LR = 1e-4
     cfg.SOLVER.EPOCHS = 1
     cfg.MODEL.S2D_MAX_CHANNELS = S2D_MAX_CHANNELS
+    cfg.MODEL.SUBPIXEL_DECONV = SUBPIXEL_DECONV
     spec = build_segmentor(cfg)
     seg = Segmentor(spec, nc)
     rng = np.random.RandomState(0)
@@ -70,6 +72,7 @@ def bench_eval(name, nc, size, batch, iters=10, warmup=2):
     cfg.MODEL.NUM_CLASSES = nc
     cfg.MODEL.FREEZE_BN = True
     cfg.MODEL.S2D_MAX_CHANNELS = S2D_MAX_CHANNELS
+    cfg.MODEL.SUBPIXEL_DECONV = SUBPIXEL_DECONV
     spec = build_segmentor(cfg)
     seg = Segmentor(spec, nc)
     rng = np.random.RandomState(0)
@@ -136,12 +139,16 @@ def main():
     ap.add_argument("--s2d", type=int, default=0,
                     help="MODEL.S2D_MAX_CHANNELS for this run (narrow-conv "
                          "space-to-depth A/B; 0=off)")
+    ap.add_argument("--subpixel", action="store_true",
+                    help="MODEL.SUBPIXEL_DECONV for this run (deconv phase "
+                         "decomposition A/B)")
     args = ap.parse_args()
-    global S2D_MAX_CHANNELS
+    global S2D_MAX_CHANNELS, SUBPIXEL_DECONV
     S2D_MAX_CHANNELS = args.s2d
-    if args.s2d and args.family is None:
-        ap.error("--s2d is a probe flag: combine with --family so the "
-                 "committed BENCH_FAMILIES.json stays default-config")
+    SUBPIXEL_DECONV = args.subpixel
+    if (args.s2d or args.subpixel) and args.family is None:
+        ap.error("--s2d/--subpixel are probe flags: combine with --family "
+                 "so the committed BENCH_FAMILIES.json stays default-config")
     rows = []
 
     def emit(row):

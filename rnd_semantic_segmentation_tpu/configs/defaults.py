@@ -30,6 +30,11 @@ _C.MODEL.DTYPE = "bfloat16"
 # Relevant for pranet (Res2Net 26-208w branches, 32w RFB) and the attn UNet
 # decoder (8-120w); set from measurement, not by default.
 _C.MODEL.S2D_MAX_CHANNELS = 0
+# TPU-native: execute ConvTranspose2d via sub-pixel phase decomposition
+# (ops/subpixel.py) instead of lhs_dilation — exact numerics, 1/stride² of
+# the dilated lowering's MACs (the attn decoder's 5 upsamplers are 49% of
+# that family's forward FLOPs as dilated).  Off until chip-measured.
+_C.MODEL.SUBPIXEL_DECONV = False
 
 # ---------------------------------------------------------------------------
 # Input / preprocessing

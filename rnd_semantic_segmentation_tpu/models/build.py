@@ -93,6 +93,8 @@ def build_segmentor(cfg, bn_axis_name: Optional[str] = None) -> SegmentorSpec:
     # with the default 0 reset any policy a previous build left behind.
     from ..ops.s2d import set_s2d_policy
     set_s2d_policy(getattr(cfg.MODEL, "S2D_MAX_CHANNELS", 0))
+    from ..ops.subpixel import set_subpixel_policy
+    set_subpixel_policy(getattr(cfg.MODEL, "SUBPIXEL_DECONV", False))
     if family == "deeplab":
         return SegmentorSpec(
             family=family, backbone=backbone,

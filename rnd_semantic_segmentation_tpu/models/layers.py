@@ -129,15 +129,24 @@ class ConvTranspose2d(nn.Module):
             "kernel", self.kernel_init, (kh, kw, in_ch, self.features), jnp.float32
         )
         dtype = self.dtype or x.dtype
-        y = lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(1, 1),
-            padding=((kh - 1 - ph, kh - 1 - ph + op),
-                     (kw - 1 - pw, kw - 1 - pw + op)),
-            lhs_dilation=(sh, sw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        # sub-pixel phase decomposition (ops/subpixel.py): exact rewrite
+        # that skips the dilation zeros — 1/s² of the dilated lowering's
+        # MACs; opt-in via MODEL.SUBPIXEL_DECONV (trace-time policy)
+        from ..ops.subpixel import conv_transpose_subpixel, subpixel_enabled
+        if subpixel_enabled() and max(sh, sw) > 1:
+            y = conv_transpose_subpixel(x.astype(dtype),
+                                        kernel.astype(dtype),
+                                        (sh, sw), (ph, pw), op)
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(1, 1),
+                padding=((kh - 1 - ph, kh - 1 - ph + op),
+                         (kw - 1 - pw, kw - 1 - pw + op)),
+                lhs_dilation=(sh, sw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)
