@@ -1,12 +1,14 @@
 """Attn-family (EfficientNet-B2 UNet @512) per-op chip probe.
 
 Answers, with measurement: where do the 104 ms/step go — narrow-contraction
-expand 1x1s, VPU depthwise, narrow decoder convs, or something else — and
-whether s2d rescues the narrow 3x3 decoder convs.  Run on the real chip.
+expand 1x1s, VPU depthwise, narrow decoder convs, dilated ConvTranspose — and
+which rewrite (s2d policy, sub-pixel deconv, Pallas fusion) pays.
+
+Gen-2 methodology: probes/_bench.py (fori_loop dispatch amortization +
+full-tensor reduction; the gen-1 numbers were dispatch-bound/DCE-inflated).
 """
 import json
 import os
-
 import time
 
 import jax
@@ -21,65 +23,60 @@ TINY = bool(os.environ.get("PROBE_TINY"))
 if TINY:
     jax.config.update("jax_platforms", "cpu")
 
-REPS = 2 if TINY else 10
-CHAIN = 2 if TINY else 10
+from probes._bench import time_loop  # noqa: E402
+
+ITERS = 2 if TINY else 25
+CHAIN = 2 if TINY else 8
 SCALE = 8 if TINY else 1
 
 
-def timed(name, fn, *args, reps=REPS, extra=None):
+def conv_chain(b, h, w, ci, co, k, groups=1):
+    """Shape-consistent chain: alternating ci->co->ci (dense) or a same-width
+    depthwise chain (groups=ci=co).  us/conv + achieved tflops."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, ci), jnp.bfloat16)
+    if groups > 1:
+        assert ci == co
+        ks = [jax.random.normal(jax.random.PRNGKey(i + 1), (k, k, 1, co),
+                                jnp.bfloat16) * 0.05 for i in range(CHAIN)]
+    else:
+        ks = [jax.random.normal(jax.random.PRNGKey(i + 1),
+                                (k, k, ci, co) if i % 2 == 0
+                                else (k, k, co, ci),
+                                jnp.bfloat16) * 0.05 for i in range(CHAIN)]
+
+    def body(x):
+        for kk in ks:
+            x = lax.conv_general_dilated(
+                x, kk, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups)
+        return x
+
+    dt = time_loop(body, x, iters=ITERS) / CHAIN
+    fl = 2 * b * h * w * k * k * (co if groups > 1 else ci * co)
+    print(json.dumps({"case": f"conv {k}x{k} g{groups} [{b},{h},{w},{ci}]<->{co}",
+                      "us_per_conv": round(dt * 1e6, 1),
+                      "tflops": round(fl / dt / 1e12, 2),
+                      "gbps": round((2 * b * h * w * (ci + co)) / dt / 1e9, 1)}),
+          flush=True)
+
+
+def timed(name, fn, *args, reps=(2 if TINY else 5), extra=None):
+    """Whole-model timer: workloads here are >=50 ms, dispatch is <5% — plain
+    repeated dispatch is fine; reductions inside fn must be full-tensor."""
     t = fn(*args)
-    float(jnp.sum(t) if hasattr(t, "shape") else t)
-    t0 = time.perf_counter()
+    float(t)
+    best = float("inf")
     for _ in range(reps):
+        t0 = time.perf_counter()
         t = fn(*args)
-    float(jnp.sum(t) if hasattr(t, "shape") else t)
-    dt = (time.perf_counter() - t0) / reps
-    row = {"case": name, "ms": round(dt * 1e3, 3)}
+        float(t)
+        best = min(best, time.perf_counter() - t0)
+    row = {"case": name, "ms": round(best * 1e3, 3)}
     if extra:
         row.update(extra)
     print(json.dumps(row), flush=True)
-    return dt
-
-
-def conv_chain(b, h, w, ci, co, k, groups=1, stride=1, n=CHAIN):
-    """n chained convs (ci->co->co->...); returns ms per conv + tflops."""
-    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, ci), jnp.bfloat16)
-    k0 = jax.random.normal(jax.random.PRNGKey(1),
-                           (k, k, ci // groups, co), jnp.bfloat16) * 0.05
-    kn = jax.random.normal(jax.random.PRNGKey(2),
-                           (k, k, co // (groups if ci == co else 1) if groups > 1 else co, co),
-                           jnp.bfloat16) * 0.05
-
-    gn = groups
-
-    @jax.jit
-    def run(x, k0, kn):
-        y = lax.conv_general_dilated(
-            x, k0, (stride, stride), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=gn)
-        g2 = co if gn > 1 else 1
-        for _ in range(n - 1):
-            y = lax.conv_general_dilated(
-                y, kn, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=g2)
-        return jnp.sum(y[0, 0, 0])
-
-    t = run(x, k0, kn)
-    float(t)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        t = run(x, k0, kn)
-    float(t)
-    dt = (time.perf_counter() - t0) / (REPS * n)
-    oh, ow = h // stride, w // stride
-    fl = 2 * b * oh * ow * co * k * k * (co // (co if gn > 1 else 1) if gn > 1 else co)
-    # first conv differs slightly; report chain average with follow-on flops
-    print(json.dumps({"case": f"conv {k}x{k} g{groups} s{stride} "
-                              f"[{b},{h},{w},{ci}]->{co}",
-                      "us_per_conv": round(dt * 1e6, 1),
-                      "tflops": round(fl / dt / 1e12, 2)}), flush=True)
+    return best
 
 
 print(json.dumps({"devices": str(jax.devices())}), flush=True)
@@ -96,12 +93,12 @@ conv_chain(B, 256 // S, 256 // S, 96, 96, 3, groups=96)
 conv_chain(B, 128 // S, 128 // S, 144, 144, 3, groups=144)
 conv_chain(B, 64 // S, 64 // S, 288, 288, 5, groups=288)
 conv_chain(B, 32 // S, 32 // S, 528, 528, 5, groups=528)
-# --- decoder: narrow 3x3 convs, plain vs s2d policy ---
+# --- decoder: narrow 3x3 convs ---
 conv_chain(B, 256 // S, 256 // S, 24, 24, 3)
 conv_chain(B, 256 // S, 256 // S, 8, 8, 3)
 conv_chain(B, 128 // S, 128 // S, 48, 48, 3)
 # --- controls ---
-conv_chain(B, 64 // S, 64 // S, 512, 512, 3)     # known ~105 TFLOPs ceiling
+conv_chain(B, 64 // S, 64 // S, 512, 512, 3)     # deeplab-body ceiling
 
 # --- whole-model attribution: encoder fwd vs full fwd vs train step ---
 from rnd_semantic_segmentation_tpu.models.attn_unet import (
@@ -117,7 +114,7 @@ ve = enc.init(jax.random.PRNGKey(0), x[:1])
 @jax.jit
 def enc_fwd(v, x):
     eps = enc.apply(v, x)
-    return jnp.sum(eps["reduction_5"][0, 0, 0].astype(jnp.float32))
+    return jnp.sum(eps["reduction_5"].astype(jnp.float32))
 
 timed(f"encoder fwd @{SZ} b{B}", enc_fwd, ve, x)
 
@@ -127,7 +124,7 @@ vn = net.init(jax.random.PRNGKey(0), x[:1])
 @jax.jit
 def full_fwd(v, x):
     outs = net.apply(v, x)
-    return jnp.sum(outs[0][0, 0, 0].astype(jnp.float32))
+    return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
 
 timed(f"full fwd @{SZ} b{B}", full_fwd, vn, x)
 
@@ -137,7 +134,7 @@ def enc_step(v, x):
         eps = enc.apply(p, x)
         return jnp.mean(eps["reduction_5"].astype(jnp.float32) ** 2)
     l, g = jax.value_and_grad(loss)(v)
-    return l
+    return l + sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree.leaves(g)) * 1e-12
 
 timed(f"encoder fwd+bwd @{SZ} b{B}", enc_step, ve, x)
 
@@ -147,39 +144,59 @@ def full_step(v, x):
         outs = net.apply(p, x)
         return sum(jnp.mean(o.astype(jnp.float32) ** 2) for o in outs)
     l, g = jax.value_and_grad(loss)(v)
-    return l
+    # fold grads into the result so nothing is DCE'd
+    return l + sum(jnp.sum(t.astype(jnp.float32)) for t in jax.tree.leaves(g)) * 1e-12
 
 timed(f"full fwd+bwd @{SZ} b{B}", full_step, vn, x)
 
-# --- ConvTranspose A/B: dilated vs sub-pixel at the real attn shapes ---
+# --- ConvTranspose A/B: dilated vs sub-pixel at the real attn shapes.
+# Carry trick: deconv (h->2h, ci->co) then a fixed stride-2 conv (co->ci)
+# restores the carry shape; the stride-2 conv is identical across variants
+# and measured alone as a control, so (variant - control) isolates the deconv.
 from rnd_semantic_segmentation_tpu.ops.subpixel import conv_transpose_subpixel
+
 
 def deconv_ab(b, h, w, ci, co):
     x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, ci), jnp.bfloat16)
     k = jax.random.normal(jax.random.PRNGKey(1), (4, 4, ci, co),
                           jnp.bfloat16) * 0.05
+    kd = jax.random.normal(jax.random.PRNGKey(2), (3, 3, co, ci),
+                           jnp.bfloat16) * 0.05
+    # control: matches the down conv's FLOPs exactly (2*b*h*w*ci*9*co both),
+    # so (variant - control) isolates the upsampler's cost
+    kid = jax.random.normal(jax.random.PRNGKey(3), (3, 3, ci, co),
+                            jnp.bfloat16) * 0.05
+    kid2 = jax.random.normal(jax.random.PRNGKey(4), (3, 3, co, ci),
+                             jnp.bfloat16) * 0.05
 
-    @jax.jit
-    def dilated(x, k):
+    def down(y, kk):
+        return lax.conv_general_dilated(
+            y, kk, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def dilated(x):
         y = lax.conv_general_dilated(
             x, k, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return jnp.sum(y[0, 0, 0])
+        return down(y, kd)
 
-    @jax.jit
-    def subpix(x, k):
+    def subpix(x):
         y = conv_transpose_subpixel(x, k, (2, 2), (1, 1), 0)
-        return jnp.sum(y[0, 0, 0])
+        return down(y, kd)
 
-    for tag, fn in [("dilated", dilated), ("subpixel", subpix)]:
-        t = fn(x, k); float(t)
-        t0 = time.perf_counter()
-        for _ in range(REPS):
-            t = fn(x, k)
-        float(t)
-        dt = (time.perf_counter() - t0) / REPS
+    def control(x):
+        # two convs whose combined FLOPs = 2x the down conv; halve when
+        # comparing (shape-consistent carry needs the round trip)
+        y = lax.conv_general_dilated(
+            x, kid, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(
+            y, kid2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    for tag, fn in [("dilated+down", dilated), ("subpixel+down", subpix),
+                    ("control 2xdownflops", control)]:
+        dt = time_loop(fn, x, iters=ITERS)
         print(json.dumps({"case": f"deconv4x2 [{b},{h},{w},{ci}]->{co} {tag}",
-                          "ms": round(dt * 1e3, 3)}), flush=True)
+                          "us": round(dt * 1e6, 1)}), flush=True)
+
 
 deconv_ab(B, 16 // (S if TINY else 1), 16 // (S if TINY else 1), 1408, 120)
 deconv_ab(B, 256 // S, 256 // S, 16, 8)

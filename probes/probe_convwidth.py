@@ -1,26 +1,35 @@
 """Conv-width roofline microbench (pranet/gald perf work, VERDICT r4 items 3+6).
 
-Pattern per CLAUDE.md: chain dependent convs inside one jit call so we
-measure MXU time, not dispatch; sync on a scalar through the tunnel.
-All bf16. Prints one JSON line per case.
+Gen-2 methodology: see probes/_bench.py (fori_loop dispatch amortization +
+full-tensor reduction).  The gen-1 numbers in early ROUND4.md notes were
+dispatch-bound and DCE-inflated — trust these instead.
+
+Each case times a shape-consistent chain of dependent convs (alternating
+ci->co->ci so FLOPs/conv are identical) on the real chip.  For the s2d
+sections we time BOTH what the Conv2d policy actually executes (a
+pad/space-to-depth/conv/depth-to-space round trip per conv, ops/s2d.py) and
+the amortized best case (one s2d in, n dense block convs, one d2s out).
 """
 import json
 import os
-import time
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-import numpy as np
+
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-TINY = bool(os.environ.get("PROBE_TINY"))  # CPU shakeout: 1/8 sizes, cpu
+TINY = bool(os.environ.get("PROBE_TINY"))
 if TINY:
     jax.config.update("jax_platforms", "cpu")
 
-CHAIN = 3 if TINY else 20
-REPS = 2 if TINY else 10
+from probes._bench import time_loop  # noqa: E402
+
+CHAIN = 2 if TINY else 8
+ITERS = 2 if TINY else 25
 
 
 def _shrink(case):
@@ -31,43 +40,33 @@ def _shrink(case):
             kw, note)
 
 
-def conv(x, k, kh, kw, stride=1):
+def conv(x, k):
     return lax.conv_general_dilated(
-        x, k, (stride, stride), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def bench_case(name, b, h, w, cin, cout, kh, kw, note=""):
-    key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (b, h, w, cin), jnp.bfloat16)
-    # distinct kernels; non-square widths alternate cin->cout->cin so the
-    # chain stays shape-consistent (flops identical per pair member avg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, cin), jnp.bfloat16)
     ks = [jax.random.normal(jax.random.PRNGKey(i + 1),
                             (kh, kw, cin, cout) if i % 2 == 0
                             else (kh, kw, cout, cin),
                             jnp.bfloat16) * 0.05 for i in range(CHAIN)]
+    if CHAIN % 2:
+        raise ValueError("CHAIN must be even for a shape-consistent carry")
 
-    @jax.jit
-    def run(x, ks):
+    def body(x):
         for k in ks:
-            x = conv(x, k, kh, kw)
-        return jnp.sum(x[0, 0, 0])
+            x = conv(x, k)
+        return x
 
-    t = run(x, ks)
-    float(t)  # compile + sync
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        t = run(x, ks)
-    float(t)
-    dt = (time.perf_counter() - t0) / (REPS * CHAIN)
-    flops = 2 * b * h * w * cout * kh * kw * cin
+    dt = time_loop(body, x, iters=ITERS) / CHAIN
+    flops = 2 * b * h * w * cout * kh * kw * cin  # same both directions
     tf = flops / dt / 1e12
     print(json.dumps({"case": name, "shape": [b, h, w, cin, cout, kh, kw],
                       "us_per_conv": round(dt * 1e6, 1),
                       "tflops": round(tf, 2),
                       "mxu_frac": round(tf / 197.0, 3), "note": note}),
           flush=True)
-    return dt, flops
 
 
 CASES = [
@@ -75,7 +74,6 @@ CASES = [
     ("res2net L1 branch as-is", 16, 88, 88, 26, 26, 3, 3, ""),
     ("res2net L1 branch pad32", 16, 88, 88, 32, 32, 3, 3, "pad 26->32"),
     ("res2net L1 branch pad64", 16, 88, 88, 64, 64, 3, 3, "pad 26->64"),
-    ("res2net L1 s2d dense",    16, 44, 44, 104, 104, 2, 2, "s2d block2: 1.78x flops of as-is"),
     ("res2net L1 3xbranch dense", 16, 88, 88, 78, 78, 3, 3, "3 branches merged, 3x flops"),
     ("res2net L2 branch as-is", 16, 44, 44, 52, 52, 3, 3, ""),
     ("res2net L2 branch pad64", 16, 44, 44, 64, 64, 3, 3, ""),
@@ -86,7 +84,6 @@ CASES = [
     # --- pranet RFB decoder convs (channel=32) ---
     ("rfb conv 32ch @44", 16, 44, 44, 32, 32, 3, 3, ""),
     ("rfb conv 32ch @44 pad64", 16, 44, 44, 64, 64, 3, 3, ""),
-    ("rfb conv 32ch @44 pad128", 16, 44, 44, 128, 128, 3, 3, ""),
     ("rfb 1x7 32ch @22", 16, 22, 22, 32, 32, 1, 7, ""),
     ("ra4 conv 256ch @11 5x5", 16, 11, 11, 256, 256, 5, 5, ""),
     # --- gald hardnet odd widths @512 input (taps 128/64/32/16) ---
@@ -97,55 +94,52 @@ CASES = [
     ("hardnet 640ch @16", 16, 16, 16, 640, 640, 3, 3, ""),
     # --- pranet wide 1x1s (62% of its fwd FLOPs per conv inventory) ---
     ("res2net conv3 L1 1x1", 16, 88, 88, 104, 256, 1, 1, ""),
-    ("res2net conv1 L1 1x1", 16, 88, 88, 256, 104, 1, 1, ""),
     ("res2net conv3 L3 1x1", 16, 22, 22, 416, 1024, 1, 1, ""),
     ("res2net conv1 L4 1x1", 16, 11, 11, 2048, 832, 1, 1, ""),
     ("pranet stem 3x3 32->64", 16, 176, 176, 32, 64, 3, 3, "18.3 GFLOP, biggest pranet conv"),
     # --- reference ceiling ---
-    ("ceiling 512ch @64", 16, 64, 64, 512, 512, 3, 3, "known ~105 TFLOPs"),
+    ("ceiling 512ch @64", 16, 64, 64, 512, 512, 3, 3, "deeplab-body control"),
 ]
 
-def bench_s2d_chain(name, b, h, w, c, n_convs=3, reps=REPS):
-    """Chain of n 3x3 stride-1 convs at width c: plain NHWC vs s2d-packed
-    (one s2d in, n dense [2,2,4c,4c] convs, one d2s out) — the realistic
-    pranet Bottle2neck branch-section shapes, transposes included."""
-    key = jax.random.PRNGKey(0)
-    x = jax.random.normal(key, (b, h, w, c), jnp.bfloat16)
+
+def bench_s2d(name, b, h, w, c, n_convs=4):
+    """Width-c 3x3 stride-1 SAME chain: plain vs per-conv s2d round trip
+    (what MODEL.S2D_MAX_CHANNELS actually executes) vs amortized block chain
+    (one s2d in / one d2s out)."""
+    from rnd_semantic_segmentation_tpu.ops.s2d import (
+        conv2d_s2d, space_to_depth, depth_to_space)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, c), jnp.bfloat16)
     ks = [jax.random.normal(jax.random.PRNGKey(i + 1), (3, 3, c, c),
                             jnp.bfloat16) * 0.05 for i in range(n_convs)]
     kb = [jax.random.normal(jax.random.PRNGKey(i + 100), (2, 2, 4 * c, 4 * c),
                             jnp.bfloat16) * 0.05 for i in range(n_convs)]
 
-    @jax.jit
-    def plain(x, ks):
+    def plain(x):
         for k in ks:
-            x = lax.conv_general_dilated(
-                x, k, (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return jnp.sum(x[0, 0, 0])
+            x = conv(x, k)
+        return x
 
-    @jax.jit
-    def s2d(x, kb):
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        bb, hp, wp, cc = xp.shape
-        xb = xp.reshape(bb, hp // 2, 2, wp // 2, 2, cc).transpose(
-            0, 1, 3, 2, 4, 5).reshape(bb, hp // 2, wp // 2, 4 * cc)
+    def s2d_rt(x):
+        for k in ks:
+            x = conv2d_s2d(x, k, (1, 1), ((1, 1), (1, 1)))
+        return x
+
+    def s2d_amortized(x):
+        xb = space_to_depth(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))), 2)
         for k in kb:
             xb = lax.conv_general_dilated(
-                xb, k, (1, 1), "SAME",
+                xb, k, (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return jnp.sum(xb[0, 0, 0])
+            xb = jnp.pad(xb, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return depth_to_space(xb, 2)[:, :h, :w]
 
-    for tag, fn, args in [("plain", plain, ks), ("s2d", s2d, kb)]:
-        t = fn(x, args)
-        float(t)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            t = fn(x, args)
-        float(t)
-        dt = (time.perf_counter() - t0) / reps
-        print(json.dumps({"case": f"{name} {tag}", "c": c,
-                          "ms_per_chain": round(dt * 1e3, 3)}), flush=True)
+    rows = {}
+    for tag, fn in [("plain", plain), ("s2d_roundtrip", s2d_rt),
+                    ("s2d_amortized", s2d_amortized)]:
+        dt = time_loop(fn, x, iters=ITERS) / n_convs
+        rows[tag] = round(dt * 1e6, 1)
+    print(json.dumps({"case": name, "c": c, "us_per_conv": rows}), flush=True)
 
 
 if __name__ == "__main__":
@@ -153,8 +147,8 @@ if __name__ == "__main__":
     for c in CASES:
         bench_case(*_shrink(c))
     if TINY:
-        bench_s2d_chain("branch L1 tiny", 2, 12, 12, 26)
+        bench_s2d("branch L1 tiny", 2, 12, 12, 26)
     else:
-        bench_s2d_chain("branch L1 @88", 16, 88, 88, 26)
-        bench_s2d_chain("branch L2 @44", 16, 44, 44, 52)
-        bench_s2d_chain("rfb @44", 16, 44, 44, 32)
+        bench_s2d("branch L1 @88", 16, 88, 88, 26)
+        bench_s2d("branch L2 @44", 16, 44, 44, 52)
+        bench_s2d("rfb @44", 16, 44, 44, 32)
