@@ -83,29 +83,54 @@ def inventory(name, fn, *args):
 
 B = 16
 
-from rnd_semantic_segmentation_tpu.models.attn_unet import AttnEfficientNetUnet
-net = AttnEfficientNetUnet("efficientnet-b2", num_classes=2)
-x = jnp.zeros((B, 512, 512, 3), jnp.bfloat16)
-v = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x[:1]))
-# need real init for apply? eval_shape of init gives abstract vars; apply with
-# abstract pytree works under eval_shape.
-inventory("attn b2 @512 b16", lambda v, x: net.apply(v, x), v, x)
-
-from rnd_semantic_segmentation_tpu.models.pranet import PraNet
-pnet = PraNet()
-xp = jnp.zeros((B, 352, 352, 3), jnp.bfloat16)
-vp = jax.eval_shape(lambda: pnet.init(jax.random.PRNGKey(0), xp[:1]))
-inventory("pranet @352 b16", lambda v, x: pnet.apply(v, x), vp, xp)
-
-from rnd_semantic_segmentation_tpu.models.gcpa import GCPAEncoder, GCPADecoder
-enc, dec = GCPAEncoder(), GCPADecoder(num_classes=19)
-xg = jnp.zeros((B, 512, 512, 3), jnp.bfloat16)
-vg = jax.eval_shape(lambda: enc.init(jax.random.PRNGKey(0), xg[:1]))
+ONLY = os.environ.get("FAMILY")  # e.g. FAMILY=deeplab to run one census
 
 
-def gald_fwd(v, x):
-    taps = enc.apply(v, x)
-    return taps
+def wanted(name):
+    return ONLY is None or ONLY in name
 
 
-inventory("gald encoder @512 b16", gald_fwd, vg, xg)
+if wanted("deeplab"):
+    from rnd_semantic_segmentation_tpu.models.resnet import ResNet
+    from rnd_semantic_segmentation_tpu.models.aspp import ASPPClassifierV2
+
+    rnet = ResNet(arch="resnet101", norm_kind="frozen",
+                  replace_stride_with_dilation=(False, True, True))
+    head = ASPPClassifierV2(num_classes=19)
+    xd = jnp.zeros((B, 512, 512, 3), jnp.bfloat16)
+    vr = jax.eval_shape(lambda: rnet.init(jax.random.PRNGKey(0), xd[:1]))
+    vh = jax.eval_shape(lambda: head.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 2048), jnp.bfloat16)))
+
+    def deeplab_fwd(vr, vh, x):
+        feats = rnet.apply(vr, x)["layer4"]
+        return head.apply(vh, feats)
+
+    inventory("deeplab r101 @512 b16", deeplab_fwd, vr, vh, xd)
+
+if wanted("attn"):
+    from rnd_semantic_segmentation_tpu.models.attn_unet import AttnEfficientNetUnet
+    net = AttnEfficientNetUnet("efficientnet-b2", num_classes=2)
+    x = jnp.zeros((B, 512, 512, 3), jnp.bfloat16)
+    v = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x[:1]))
+    # eval_shape of init gives abstract vars; apply with an abstract pytree
+    # works under eval_shape.
+    inventory("attn b2 @512 b16", lambda v, x: net.apply(v, x), v, x)
+
+if wanted("pranet"):
+    from rnd_semantic_segmentation_tpu.models.pranet import PraNet
+    pnet = PraNet()
+    xp = jnp.zeros((B, 352, 352, 3), jnp.bfloat16)
+    vp = jax.eval_shape(lambda: pnet.init(jax.random.PRNGKey(0), xp[:1]))
+    inventory("pranet @352 b16", lambda v, x: pnet.apply(v, x), vp, xp)
+
+if wanted("gald"):
+    from rnd_semantic_segmentation_tpu.models.gcpa import GCPAEncoder, GCPADecoder
+    enc, dec = GCPAEncoder(), GCPADecoder(num_classes=19)
+    xg = jnp.zeros((B, 512, 512, 3), jnp.bfloat16)
+    vg = jax.eval_shape(lambda: enc.init(jax.random.PRNGKey(0), xg[:1]))
+
+    def gald_fwd(v, x):
+        return enc.apply(v, x)
+
+    inventory("gald encoder @512 b16", gald_fwd, vg, xg)

@@ -35,6 +35,11 @@ _C.MODEL.S2D_MAX_CHANNELS = 0
 # the dilated lowering's MACs (the attn decoder's 5 upsamplers are 49% of
 # that family's forward FLOPs as dilated).  Off until chip-measured.
 _C.MODEL.SUBPIXEL_DECONV = False
+# TPU-native: fuse the MBConv expand->BN->swish->depthwise->BN->swish segment
+# into one VMEM-resident Pallas pass on the eval path (ops/mbconv.py) — the
+# EfficientNet encoder is HBM-bandwidth-bound and this removes the expanded
+# (6x) tensor's HBM round trip.  Eval/serving only; train keeps XLA ops.
+_C.MODEL.FUSED_MBCONV = False
 
 # ---------------------------------------------------------------------------
 # Input / preprocessing

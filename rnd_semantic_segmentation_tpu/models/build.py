@@ -95,6 +95,8 @@ def build_segmentor(cfg, bn_axis_name: Optional[str] = None) -> SegmentorSpec:
     set_s2d_policy(getattr(cfg.MODEL, "S2D_MAX_CHANNELS", 0))
     from ..ops.subpixel import set_subpixel_policy
     set_subpixel_policy(getattr(cfg.MODEL, "SUBPIXEL_DECONV", False))
+    from ..ops.mbconv import set_mbconv_fusion_policy
+    set_mbconv_fusion_policy(getattr(cfg.MODEL, "FUSED_MBCONV", False))
     if family == "deeplab":
         return SegmentorSpec(
             family=family, backbone=backbone,

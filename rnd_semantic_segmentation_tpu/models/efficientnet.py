@@ -75,11 +75,15 @@ class _SameConv(nn.Module):
     groups: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_kernel: bool = False):
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
             (self.kernel, self.kernel, in_ch // self.groups, self.features), jnp.float32)
+        if return_kernel:
+            # fused-MBConv path (ops/mbconv.py): declare the identical param,
+            # hand the weight to the fused kernel instead of running the conv
+            return kernel
         return lax.conv_general_dilated(
             x, kernel.astype(x.dtype),
             window_strides=(self.stride, self.stride),
@@ -103,12 +107,28 @@ class MBConvBlock(nn.Module):
         inputs = x
         filters = self.in_filters * self.expand_ratio
         bn = lambda name: BatchNorm(momentum=0.01, epsilon=1e-3, name=name)
-        if self.expand_ratio != 1:
-            x = _SameConv(filters, 1, name="expand_conv")(x)
-            x = swish(bn("bn0")(x, train))
-        x = _SameConv(filters, self.kernel, self.stride, groups=filters,
-                      name="depthwise_conv")(x)
-        x = swish(bn("bn1")(x, train))
+        from ..ops.mbconv import (fused_mbconv_applies, fused_mbconv_core,
+                                  mbconv_fusion_enabled)
+        if (mbconv_fusion_enabled() and not train and self.expand_ratio != 1
+                and self.stride == 1
+                and fused_mbconv_applies(x.shape, self.kernel, filters)):
+            # eval-only fused segment (ops/mbconv.py): same param/stat tree,
+            # expand+BN+swish+depthwise+BN+swish in one VMEM pass
+            carrier = jnp.zeros((1, 1, 1, filters), x.dtype)
+            we = _SameConv(filters, 1, name="expand_conv")(x, return_kernel=True)
+            s0, b0 = bn("bn0")(carrier, fold_only=True)
+            wd = _SameConv(filters, self.kernel, self.stride, groups=filters,
+                           name="depthwise_conv")(carrier, return_kernel=True)
+            s1, b1 = bn("bn1")(carrier, fold_only=True)
+            x = fused_mbconv_core(x, we[0, 0].astype(x.dtype), s0, b0,
+                                  wd[:, :, 0, :], s1, b1)
+        else:
+            if self.expand_ratio != 1:
+                x = _SameConv(filters, 1, name="expand_conv")(x)
+                x = swish(bn("bn0")(x, train))
+            x = _SameConv(filters, self.kernel, self.stride, groups=filters,
+                          name="depthwise_conv")(x)
+            x = swish(bn("bn1")(x, train))
 
         if self.se_ratio > 0:
             squeezed = jnp.mean(x, axis=(1, 2), keepdims=True)

@@ -169,12 +169,19 @@ class BatchNorm(nn.Module):
     scale_init: Callable = nn.initializers.ones
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 fold_only: bool = False) -> jnp.ndarray:
         c = x.shape[-1]
         scale = self.param("scale", self.scale_init, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        if fold_only:
+            # eval-affine fold for fused kernels (ops/mbconv.py): declare the
+            # identical param/stat tree, return (s, b) with y = x*s + b
+            s = lax.rsqrt(ra_var.value + self.epsilon) * scale
+            return s, bias - ra_mean.value * s
 
         dtype = self.dtype or x.dtype
         if train:
