@@ -39,6 +39,23 @@ ITERS = 20
 METRIC = "train_images_per_sec_per_chip_deeplabv2_r101_512"
 
 
+def step_mfu(step, args, dt_per_iter, peak_flops=None):
+    """XLA cost-model FLOPs of a compiled jit step / time / chip peak.
+
+    Shared by bench_all.py (the round-4 harness rewrite briefly dropped this
+    export and silently broke the per-family bench).  peak defaults to v5e
+    197 TFLOPS bf16; override via SEGTPU_PEAK_TFLOPS.
+    """
+    if peak_flops is None:
+        peak_flops = float(os.environ.get("SEGTPU_PEAK_TFLOPS", "197")) * 1e12
+    try:
+        analysis = step.lower(*args).compile().cost_analysis() or {}
+        flops = float(analysis.get("flops", 0.0))
+        return round(flops / dt_per_iter / peak_flops, 4) if flops else 0.0
+    except Exception:
+        return 0.0
+
+
 # ---------------------------------------------------------------------------
 # child: the real benchmark (runs on the chip; may hang if the tunnel is down)
 # ---------------------------------------------------------------------------
@@ -112,13 +129,8 @@ def child_main():
 
     # MFU: XLA cost-model FLOPs of the compiled step (utils/profiling.py
     # cal_params — the thop replacement, SURVEY §2.0) / time / chip peak.
-    try:
-        analysis = (step.lower(state, batch, jnp.float32(0))
-                    .compile().cost_analysis() or {})
-        flops = float(analysis.get("flops", 0.0))
-        mfu = flops / (dt / ITERS) / peak_flops if flops else 0.0
-    except Exception:
-        mfu = 0.0
+    mfu = step_mfu(step, (state, batch, jnp.float32(0)), dt / ITERS,
+                   peak_flops)
 
     print(json.dumps({
         "metric": METRIC,
