@@ -49,7 +49,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # pltpu only imports cleanly when a TPU plugin is present
