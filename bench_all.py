@@ -146,13 +146,18 @@ def main():
     ap.add_argument("--subpixel", action="store_true",
                     help="MODEL.SUBPIXEL_DECONV for this run (deconv phase "
                          "decomposition A/B)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the per-case batch size (batch-scaling "
+                         "probe; floor/bandwidth-bound families amortize "
+                         "per-op cost with larger batches)")
     args = ap.parse_args()
     global S2D_MAX_CHANNELS, SUBPIXEL_DECONV
     S2D_MAX_CHANNELS = args.s2d
     SUBPIXEL_DECONV = args.subpixel
-    if (args.s2d or args.subpixel) and args.family is None:
-        ap.error("--s2d/--subpixel are probe flags: combine with --family "
-                 "so the committed BENCH_FAMILIES.json stays default-config")
+    if (args.s2d or args.subpixel or args.batch) and args.family is None:
+        ap.error("--s2d/--subpixel/--batch are probe flags: combine with "
+                 "--family so the committed BENCH_FAMILIES.json stays "
+                 "default-config")
     rows = []
 
     def emit(row):
@@ -161,6 +166,8 @@ def main():
 
     cases = [c for c in CASES
              if args.family is None or args.family in c[0]]
+    if args.batch:
+        cases = [(n, nc, sz, args.batch) for n, nc, sz, _ in cases]
     for name, nc, size, batch in cases:
         try:
             ips, mfu = bench(name, nc, size, batch)
