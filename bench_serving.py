@@ -128,9 +128,18 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--min-channels", type=int, default=None,
                     help="override QuantConfig.min_channels for this run")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the per-case batch size (throughput-"
+                         "optimal-batch probe; eval batch is semantically "
+                         "free, unlike train)")
     args = ap.parse_args()
+    if args.batch and args.model is None:
+        ap.error("--batch is a probe flag: combine with --model so the "
+                 "committed BENCH_SERVING.json stays default-config")
 
     cases = [c for c in CASES if args.model is None or c[0] == args.model]
+    if args.batch:
+        cases = [(n, nc, sz, args.batch) for n, nc, sz, _ in cases]
     rows = []
     for case_name, nc, size, batch in cases:
         model = case_name.split("@")[0]
@@ -215,7 +224,7 @@ def main():
             rows.append(summary)
             print(json.dumps(summary), flush=True)
 
-    if args.min_channels is not None:
+    if args.min_channels is not None or args.batch is not None:
         return  # probe run: don't overwrite the default-config artifact
     out = os.path.join(REPO, "BENCH_SERVING.json")
     prev = []
