@@ -27,10 +27,14 @@ from jax import lax
 
 
 def time_loop(body, x0, iters=50, reps=3, damp=True):
-    """Median seconds per single `body(x)` application, dispatch-amortized.
+    """Best-case (min over reps) seconds per single `body(x)` application,
+    dispatch-amortized.
 
     body: carry -> carry (same shape/dtype).  Executed iters times inside one
     jit call via fori_loop; timed over reps dispatches; returns min/iters.
+    Min (not median/mean) is deliberate: these probes compare per-shape
+    hardware ceilings, and the minimum is the noise-free estimate of that
+    ceiling — end-to-end benches (bench.py/bench_all) use means instead.
     """
 
     def damped(x):

@@ -115,9 +115,10 @@ def checkpoint_name(output_dir: str, prefix: str, epoch: int) -> str:
 def prune_checkpoints(output_dir: str, prefix: str, keep: int) -> None:
     """Keep only the newest ``keep`` checkpoints of ``prefix``.
 
-    ``keep < 0`` keeps all; ``keep == 0`` deletes all (used by the trainer's
-    prune-to-keep-1-before-save pattern so retention lands exactly at
-    SOLVER.KEEP_CHECKPOINTS after the save completes)."""
+    ``keep < 0`` keeps all; ``keep == 0`` deletes all.  The trainer prunes
+    to ``max(KEEP_CHECKPOINTS - 1, 1)`` before each save so retention lands
+    at KEEP_CHECKPOINTS after the save completes while never dropping below
+    one complete checkpoint (no zero-checkpoint preemption window)."""
     if keep < 0 or not os.path.isdir(output_dir):
         return
     import shutil

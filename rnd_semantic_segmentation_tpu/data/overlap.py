@@ -37,7 +37,9 @@ def measure_overlap(loader, device_rate_img_per_sec: float,
     it = iter(loader)
     idle = busy = 0.0
     n_img = n_batch = 0
-    wall0 = None
+    # steady-state clock starts here for warmup_batches=0; each warmup batch
+    # pushes it forward so the ramp never counts toward the measured wall
+    wall0 = time.perf_counter()
     while max_batches is None or n_batch < max_batches:
         t0 = time.perf_counter()
         try:
@@ -57,7 +59,7 @@ def measure_overlap(loader, device_rate_img_per_sec: float,
             busy += step
         else:
             wall0 = time.perf_counter()  # steady-state starts after ramp
-    wall = time.perf_counter() - (wall0 or time.perf_counter())
+    wall = time.perf_counter() - wall0
     frac = idle / wall if wall > 0 else 0.0
     return {
         "device_rate_img_per_sec": round(device_rate_img_per_sec, 2),

@@ -309,6 +309,16 @@ def repair_exclusions(probs_fn, x, label_size, ctx: "QuantContext",
 
     agreement = _agree()
     excluded: List[str] = []
+    # Every round costs two full-model compiles (sensitivity probe + fresh
+    # agreement jit) — minutes each through a cold remote-compile service.
+    # A model that genuinely quantizes badly must not burn all max_exclude
+    # rounds before the caller falls back to bf16 anyway: stop after two
+    # consecutive rounds with no meaningful gain.  Patience is 2 (not 1)
+    # because a single exclusion can be flat while its downstream
+    # scale-poisoned partner still hides the jump (the OutlierNet pattern:
+    # flat after conv_b, 1.0 after conv_head).
+    best = agreement
+    stagnant = 0
     while agreement < floor and len(excluded) < max_exclude:
         # re-attribute each round: once an offender is excluded, the next
         # worst layer's error is only visible on the REPAIRED graph (e.g. a
@@ -324,6 +334,17 @@ def repair_exclusions(probs_fn, x, label_size, ctx: "QuantContext",
             logger.info(
                 f"quant repair: excluded {worst} (local err "
                 f"{errs[worst]:.4f}) -> agreement {agreement:.4f}")
+        if agreement > best + 1e-3:
+            best = agreement
+            stagnant = 0
+        else:
+            stagnant += 1
+            if stagnant >= 2:
+                if logger is not None:
+                    logger.info(
+                        "quant repair: no gain for 2 rounds — stopping early "
+                        f"(agreement {agreement:.4f} < floor {floor})")
+                break
     return agreement, excluded
 
 

@@ -113,8 +113,17 @@ class InferenceServer:
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "batched_images": 0,
                       "errors": 0, "rejected": 0}
-        self._thread = threading.Thread(target=self._dispatch_loop,
-                                        daemon=True)
+        # The dispatcher thread owns every trace, but a fresh Python thread
+        # starts with an EMPTY contextvars context — the trace-time execution
+        # policies build_segmentor set in this (main) thread (s2d / subpixel /
+        # fused-MBConv contextvars) would silently read their defaults there.
+        # Run the loop inside a copy of the constructing thread's context so
+        # every policy propagates (quant_scope is entered inside the loop and
+        # composes fine with ctx.run).
+        import contextvars
+        ctx = contextvars.copy_context()
+        self._thread = threading.Thread(
+            target=lambda: ctx.run(self._dispatch_loop), daemon=True)
         self._thread.start()
 
     # -- preprocessing -------------------------------------------------------

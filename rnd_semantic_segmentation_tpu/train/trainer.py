@@ -183,13 +183,17 @@ class Trainer:
                     and process_is_primary()):
                 # prune BEFORE initiating the (possibly async) save: pruning
                 # never races the in-flight serialization and a crash
-                # mid-save still leaves KEEP_CHECKPOINTS-1 complete dirs;
-                # prune to keep-1 so the save lands retention at exactly
-                # SOLVER.KEEP_CHECKPOINTS (0 = keep all)
+                # mid-save still leaves complete dirs behind.  Prune to
+                # keep-1 so the save lands retention at exactly
+                # SOLVER.KEEP_CHECKPOINTS (0 = keep all) — but never below
+                # one complete checkpoint: at KEEP_CHECKPOINTS=1, pruning to
+                # zero before the save would open a window (prune..save
+                # completion) where a preemption loses the whole run.  The
+                # KEEP=1 case therefore holds 2 dirs until the next period.
                 from ..ckpt.orbax_io import prune_checkpoints
                 if cfg.SOLVER.KEEP_CHECKPOINTS > 0:
                     prune_checkpoints(cfg.OUTPUT_DIR, self.spec.ckpt_prefix,
-                                      cfg.SOLVER.KEEP_CHECKPOINTS - 1)
+                                      max(cfg.SOLVER.KEEP_CHECKPOINTS - 1, 1))
                 path = checkpoint_name(cfg.OUTPUT_DIR, self.spec.ckpt_prefix, epoch)
                 save_checkpoint(path, self.state, epoch,
                                 wait=not cfg.SOLVER.ASYNC_CHECKPOINT)

@@ -86,3 +86,17 @@ def test_overlap_model_input_bound_when_producer_slow():
     assert r["device_idle_fraction"] > 0.5, r
     # achieved rate is capped by the producer, not the consumer budget
     assert r["achieved_img_per_sec"] < 100, r
+
+
+def test_measure_overlap_warmup_zero_is_sane():
+    """Regression: warmup_batches=0 must measure wall time from the start of
+    the run (a latent bug left the steady-state clock unset and every metric
+    collapsed to a ~0 denominator → astronomically wrong rates)."""
+    ds = SleepDataset(n=8, item_s=0.005)
+    res = measure_overlap(_loader(ds), device_rate_img_per_sec=400.0,
+                          warmup_batches=0, max_batches=4)
+    assert res["batches"] == 4
+    # 4 batches x 2 imgs: wall must cover at least the device-step sleeps
+    assert res["wall_s"] >= 4 * (2 / 400.0) * 0.5
+    # rate bounded by physics: 8 images over >= ~40ms of real time
+    assert 0 < res["achieved_img_per_sec"] < 8 / (4 * 2 / 400.0) * 2

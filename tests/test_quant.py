@@ -259,3 +259,38 @@ def test_min_channels_gate_keeps_small_convs_bf16():
     with quant_scope(ctx):
         y_q = model.apply(variables, x)
     np.testing.assert_array_equal(np.asarray(y_q), np.asarray(y_ref))
+
+
+def test_repair_stops_early_when_stagnant(monkeypatch):
+    """A model that genuinely quantizes badly must not burn all
+    QUANT_REPAIR_MAX rounds (each = 2 full-model compiles) before the caller
+    falls back to bf16: repair stops after 2 consecutive no-gain rounds."""
+    import numpy as np
+
+    import rnd_semantic_segmentation_tpu.serve.quant as q
+
+    rounds = {"sens": 0}
+
+    def fake_sens(probs_fn, x, label_size, ctx):
+        rounds["sens"] += 1
+        # always another candidate, none of which helps
+        return {f"conv_{rounds['sens']}": 1.0}
+
+    def fake_argmax(ctx, probs_fn, x, label_size):
+        ref = np.zeros(100, np.int32)
+        if ctx is None:
+            return ref
+        bad = ref.copy()
+        bad[:50] = 1  # agreement pinned at 0.50 forever
+        return bad
+
+    monkeypatch.setattr(q, "quant_sensitivity", fake_sens)
+    monkeypatch.setattr(q, "_argmax_under", fake_argmax)
+
+    ctx = q.QuantContext(mode="fake")
+    agreement, excluded = q.repair_exclusions(
+        lambda v, x, s: x, None, None, ctx, floor=0.95, max_exclude=10)
+    assert agreement == 0.5
+    assert len(excluded) == 2, (
+        f"stagnation should stop after 2 no-gain rounds, ran {len(excluded)}")
+    assert rounds["sens"] == 2

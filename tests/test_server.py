@@ -209,3 +209,36 @@ def test_daemon_serves_quantized_graph_not_stale_cache(tmp_path):
             "served graph is numerically identical to f32 — quant not applied"
     finally:
         inf.shutdown()
+
+
+def test_dispatcher_thread_inherits_trace_time_policies(server, monkeypatch):
+    """Regression: trace-time execution policies (MODEL.S2D_MAX_CHANNELS /
+    SUBPIXEL_DECONV / FUSED_MBCONV) are contextvars set by build_segmentor in
+    the constructing thread, but every serving trace happens in the
+    dispatcher thread — which, as a fresh Python thread, starts with an EMPTY
+    contextvars context.  The daemon must run its loop inside a copy of the
+    constructor's context so the policies are visible at trace time."""
+    import rnd_semantic_segmentation_tpu.ops.s2d as s2d
+
+    inf0, _ = server
+    seen = []
+    real_applies = s2d.s2d_applies
+
+    def spy(*a, **k):
+        seen.append(s2d._S2D_POLICY.get())
+        return real_applies(*a, **k)
+
+    monkeypatch.setattr(s2d, "s2d_applies", spy)
+
+    cfg = inf0.cfg.clone()
+    cfg.MODEL.S2D_MAX_CHANNELS = 4096  # wide enough to gate-check every conv
+    logger = setup_logger("serve_ctx", cfg.OUTPUT_DIR, 0)
+    inf = InferenceServer(cfg, {}, logger, max_batch=2, batch_timeout_ms=5.0)
+    try:
+        assert inf.ready.wait(300), "server warmup timed out"
+    finally:
+        inf.shutdown()
+    assert seen, "warmup trace never consulted the s2d policy gate"
+    assert max(seen) == 4096, (
+        "dispatcher thread traced with the DEFAULT policy — the constructor's "
+        "contextvars did not propagate to the trace site")
