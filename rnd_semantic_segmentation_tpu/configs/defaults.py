@@ -173,9 +173,12 @@ _C.DATA_PIPE = CfgNode()
 _C.DATA_PIPE.NUM_WORKERS = 4
 _C.DATA_PIPE.PREFETCH = 2                 # device-buffer prefetch depth
 _C.DATA_PIPE.SEED = 0
-# TPU-native: run flip/color-jitter/normalize on device (data/device_pipe.py)
-# instead of in the host Augmenter. Pair with AUG.NAME "none" so host
-# augmentation isn't applied twice.
+# TPU-native: run the per-pixel augment math on device (data/device_pipe.py)
+# instead of in the host Augmenter.  Dispatches on AUG.NAME: "pra"/"attn"
+# get their family pipelines (rot90/flip/jitter; blur/rotate/jitter/flip),
+# anything else the aspp-style resize/flip/jitter/normalize.  The host
+# Augmenter automatically reduces to its variable-shape residue (crop) for
+# train mode when this is on — no manual AUG.NAME pairing needed.
 _C.DATA_PIPE.DEVICE_AUG = False
 # native C++ decode path (native/segdata.cpp) for the loader fast path
 _C.DATA_PIPE.NATIVE_DECODE = False

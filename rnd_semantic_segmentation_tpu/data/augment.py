@@ -68,6 +68,10 @@ class Augmenter:
 
     def build_transform(self):
         name = self.cfg.AUG.NAME
+        if self.mode == "train":
+            from .device_pipe import device_aug_active
+            if device_aug_active(self.cfg, self.mode):
+                return self._device_stub(name)
         if name == "attn":
             return self.attn_trans()
         if name == "pra":
@@ -75,6 +79,47 @@ class Augmenter:
         if name == "aspp":
             return self.aspp_trans()
         # identity (incl. "gald", "none")
+        return lambda image, label: (image, label)
+
+    def _device_stub(self, name):
+        """Minimal host residue when DATA_PIPE.DEVICE_AUG moves the per-pixel
+        augment math onto the device (data/device_pipe.py family pipelines):
+        keep only the variable-shape geometric ops that need the pre-collate
+        image — everything elementwise runs in the jitted device graph."""
+        cfg = self.cfg
+        if name == "pra":
+            trainsize = cfg.INPUT.TRAINSIZE
+
+            def fn(image, label):
+                image = np.asarray(image)
+                label = np.asarray(label)
+                # p=0.5 random-or-center 220 crop (pra_trans) — host-only:
+                # it needs the original-resolution image
+                if random.random() < 0.5 and min(image.shape[:2]) > 220:
+                    h, w = image.shape[:2]
+                    if random.random() < 0.5:
+                        i, j = random.randint(0, h - 220), random.randint(0, w - 220)
+                    else:
+                        i, j = (h - 220) // 2, (w - 220) // 2
+                    image = image[i:i + 220, j:j + 220]
+                    label = label[i:i + 220, j:j + 220]
+                im = T._as_pil(image).resize((trainsize, trainsize), Image.BILINEAR)
+                lb = Image.fromarray(label.astype(np.float32)).resize(
+                    (trainsize, trainsize), Image.NEAREST)
+                # uint8 out -> the collate /255 rule feeds the device [0,1]
+                return np.asarray(im), np.asarray(lb)
+            return fn
+        if name == "aspp":
+            scales = cfg.INPUT.INPUT_SCALES_TRAIN
+            trans_list = [T.ToArray()]
+            if not (scales[0] == scales[1] == 1):
+                w, h = (cfg.INPUT.SOURCE_INPUT_SIZE_TRAIN if self.is_source
+                        else cfg.INPUT.TARGET_INPUT_SIZE_TRAIN)
+                trans_list = [T.RandomScale(scale=scales),
+                              T.RandomCrop(size=(h, w), pad_if_needed=True)] + trans_list
+            return T.Compose(trans_list)
+        # attn / none / gald: identity — the dataset's cv2_resize still runs,
+        # blur/rotate/jitter/flip ride on the device
         return lambda image, label: (image, label)
 
     # -- attn ---------------------------------------------------------------

@@ -310,6 +310,13 @@ class FadaTrainer:
             self.step_fn = wrap_step_checkify(self.step_fn)
         self.batch_sharding = batch_sharding(
             self.mesh, spatial=cfg.DIST.SPATIAL_PARALLEL > 1)
+        self.device_aug_src = self.device_aug_tgt = None
+        if cfg.DATA_PIPE.DEVICE_AUG:
+            from ..data.device_pipe import make_device_augmenter
+            # aspp_trans applies ColorJitter to the source domain only; the
+            # target stream draws an independent key stream + target size
+            self.device_aug_src = make_device_augmenter(cfg, is_source=True)
+            self.device_aug_tgt = make_device_augmenter(cfg, is_source=False)
 
     def train(self):
         cfg = self.cfg
@@ -336,6 +343,9 @@ class FadaTrainer:
                 except StopIteration:
                     break
                 data_time = time.time() - tic  # input-starvation accounting
+                if self.device_aug_src is not None:
+                    src_batch = self.device_aug_src(src_batch, iteration)
+                    tgt_batch = self.device_aug_tgt(tgt_batch, iteration)
                 self.state, metrics = self.step_fn(
                     self.state,
                     {k: v for k, v in src_batch.items() if k != "name"},

@@ -97,3 +97,31 @@ def test_fada_trainer_e2e(tmp_path):
     assert (tmp_path / "AsppFada-1").exists()
     chart = json.load(open(tmp_path / "deeplab_fada_chart_params.json"))
     assert len(chart["segmentation loss"]) > 0
+
+
+def test_device_aug_trainer_pranet_multiscale(tmp_path):
+    """DEVICE_AUG end-to-end through the pranet family: the device pipeline
+    (rot90/flip/jitter/normalize) feeds the multiscale rate loop, whose
+    host-side `_resize_batch_to` must survive device-resident batches."""
+    cfg = _cfg(tmp_path, name="pranet_res2net50")
+    cfg.AUG.NAME = "pra"
+    cfg.INPUT.TRAINSIZE = 32
+    cfg.DATA_PIPE.DEVICE_AUG = True
+    trainer = Trainer("e2e_devaug", cfg, _loader(cfg), 0)
+    assert trainer.device_aug is not None
+    trainer.train()
+    assert np.isfinite(trainer.loss_data).all()
+
+
+def test_device_aug_fada_e2e(tmp_path):
+    """FADA with device augmentation: source jitters, target only
+    flips/normalizes, both streams ride the device pipeline."""
+    cfg = _cfg(tmp_path)
+    cfg.AUG.NAME = "aspp"
+    cfg.DATA_PIPE.DEVICE_AUG = True
+    src = _loader(cfg, batch=cfg.SOLVER.BATCH_SIZE // 2)
+    tgt = _loader(cfg, is_source=False, batch=cfg.SOLVER.BATCH_SIZE // 2)
+    ft = FadaTrainer("e2e_fada_devaug", cfg, src, tgt, 0)
+    assert ft.device_aug_src is not None and ft.device_aug_tgt is not None
+    ft.train()
+    assert (tmp_path / "AsppFada-1").exists()
