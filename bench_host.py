@@ -159,6 +159,16 @@ def bench_overlap(data_root, repeats=6, workers=None):
         # how many decode workers a host needs so the chip never starves
         row["workers_needed"] = round(
             rates[model] * stage["getitem_ms_per_item"] / 1000, 2)
+        # DATA_PIPE.DEVICE_AUG residue: the host Augmenter reduces to its
+        # variable-shape stub (crop / identity) and the per-pixel math moves
+        # into the jitted device pipeline (data/device_pipe.py) — measure
+        # the host ms/item that buys back
+        cfg_d = cfg.clone()
+        cfg_d.DATA_PIPE.DEVICE_AUG = True
+        stage_d = stage_times(build_dataset(cfg_d, "train", True), aug)
+        row["getitem_ms_per_item_device_aug"] = stage_d["getitem_ms_per_item"]
+        row["workers_needed_device_aug"] = round(
+            rates[model] * stage_d["getitem_ms_per_item"] / 1000, 2)
         out.append(row)
         print(json.dumps(row), flush=True)
     return out
@@ -200,7 +210,8 @@ def main():
     result["overlap_verdict"] = {
         r["model"]: {"input_bound_on_this_host": r["input_bound"],
                      "device_idle_fraction": r["device_idle_fraction"],
-                     "workers_needed_on_manycore_host": r["workers_needed"]}
+                     "workers_needed_on_manycore_host": r["workers_needed"],
+                     "workers_needed_with_device_aug": r["workers_needed_device_aug"]}
         for r in result["overlap"]}
     print(json.dumps({"summary": result["verdict"],
                       "overlap_verdict": result["overlap_verdict"],
