@@ -120,7 +120,7 @@ def make_kvasir_corpus(n, w=1280, h=720):
     return tmp
 
 
-def bench_overlap(data_root, repeats=6, workers=None):
+def bench_overlap(data_root, repeats=6, workers=None, procs=0):
     """The measured overlap model (VERDICT r3 item 5): real
     decode->augment->collate pipeline vs a consumer paced at each family's
     chip-measured train rate; emits device_idle_fraction + input_bound per
@@ -156,6 +156,17 @@ def bench_overlap(data_root, repeats=6, workers=None):
         row = {"model": model, "aug": aug, "size": size, "batch": batch,
                "workers": workers, **stage,
                **measure_overlap(loader, rates[model])}
+        if procs:
+            # A/B: forked worker processes (DATA_PIPE.WORKER_PROCESSES) vs
+            # the thread pool — the GIL-bound Python/PIL per-item residue
+            # only parallelizes in the process path on many-core hosts
+            ploader = DataLoader(ds, batch_size=batch, shuffle=True,
+                                 drop_last=True, worker_processes=procs,
+                                 collate_fn=build_collate_fn(cfg))
+            prow = measure_overlap(ploader, rates[model])
+            ploader.close()
+            row.update({f"{k}_procs": v for k, v in prow.items()})
+            row["worker_processes"] = procs
         # how many decode workers a host needs so the chip never starves
         row["workers_needed"] = round(
             rates[model] * stage["getitem_ms_per_item"] / 1000, 2)
@@ -175,6 +186,13 @@ def bench_overlap(data_root, repeats=6, workers=None):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", type=int, default=0,
+                    help="also A/B the overlap rows with this many forked "
+                         "worker processes (DATA_PIPE.WORKER_PROCESSES)")
+    args = ap.parse_args()
     ncores = os.cpu_count() or 1
     rows = []
     # 512^2 training-crop geometry from 1280x720 JPEGs (Kvasir-like)
@@ -206,7 +224,7 @@ def main():
     }
     # measured overlap model: real pipeline vs chip-rate consumer, per family
     corpus_root = make_kvasir_corpus(32)
-    result["overlap"] = bench_overlap(corpus_root)
+    result["overlap"] = bench_overlap(corpus_root, procs=args.procs)
     result["overlap_verdict"] = {
         r["model"]: {"input_bound_on_this_host": r["input_bound"],
                      "device_idle_fraction": r["device_idle_fraction"],

@@ -36,6 +36,7 @@ def cli():
     test_loader = DataLoader(
         test_data, batch_size=cfg.TEST.BATCH_SIZE, shuffle=False,
         drop_last=False, num_workers=cfg.DATA_PIPE.NUM_WORKERS,
+        worker_processes=cfg.DATA_PIPE.WORKER_PROCESSES,
         collate_fn=build_collate_fn(cfg))
     tester = Tester(cfg, test_loader, logger)
     tester._load_checkpoint()

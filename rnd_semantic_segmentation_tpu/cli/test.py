@@ -26,6 +26,7 @@ def test(cfg, render_config, args):
         # TEST.BATCH_SIZE is global; each process loads its disjoint slice
         test_data, batch_size=max(cfg.TEST.BATCH_SIZE // nproc, 1),
         shuffle=False, drop_last=False, num_workers=cfg.DATA_PIPE.NUM_WORKERS,
+        worker_processes=cfg.DATA_PIPE.WORKER_PROCESSES,
         collate_fn=build_collate_fn(cfg), process_shard=nproc > 1)
     tester = Tester(cfg, test_loader, logger,
                     palette=render_config.get("palette"),

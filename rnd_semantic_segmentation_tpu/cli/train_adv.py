@@ -33,6 +33,7 @@ def main(name: str, cfg, local_rank: int = 0, distributed: bool = False) -> None
     tgt_data = _Repeat(build_dataset(cfg, "train", is_source=False), 9)
     kwargs = dict(shuffle=True, drop_last=True,
                   num_workers=cfg.DATA_PIPE.NUM_WORKERS,
+                  worker_processes=cfg.DATA_PIPE.WORKER_PROCESSES,
                   collate_fn=build_collate_fn(cfg), seed=cfg.DATA_PIPE.SEED)
     src_loader = DataLoader(src_data, batch_size=cfg.SOLVER.BATCH_SIZE // 2, **kwargs)
     tgt_loader = DataLoader(tgt_data, batch_size=cfg.SOLVER.BATCH_SIZE // 2, **kwargs)

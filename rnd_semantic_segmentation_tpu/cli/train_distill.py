@@ -31,6 +31,7 @@ def _online_distill(name: str, cfg, local_rank: int) -> None:
         build_dataset(cfg, "train", is_source=True),
         batch_size=cfg.SOLVER.BATCH_SIZE, shuffle=True, drop_last=True,
         num_workers=cfg.DATA_PIPE.NUM_WORKERS,
+        worker_processes=cfg.DATA_PIPE.WORKER_PROCESSES,
         collate_fn=build_collate_fn(cfg), seed=cfg.DATA_PIPE.SEED)
     trainer = Trainer(name, cfg, loader, local_rank)
 

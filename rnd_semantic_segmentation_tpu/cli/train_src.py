@@ -21,6 +21,7 @@ def main(name: str, cfg, local_rank: int = 0) -> None:
         shuffle=True,
         drop_last=True,
         num_workers=cfg.DATA_PIPE.NUM_WORKERS,
+        worker_processes=cfg.DATA_PIPE.WORKER_PROCESSES,
         collate_fn=build_collate_fn(cfg),
         seed=cfg.DATA_PIPE.SEED,
     )

@@ -119,6 +119,12 @@ _C.SOLVER.ADV_WEIGHT = 0.001
 # TPU-native: microbatch gradient accumulation inside the jitted step
 # (effective batch = BATCH_SIZE, HBM footprint = BATCH_SIZE/ACCUM_STEPS)
 _C.SOLVER.ACCUM_STEPS = 1
+# TPU-native: activation rematerialization for the train-step backward
+# (train/steps.py remat_wrap).  none | full (jax.checkpoint, nothing
+# saveable) | dots (conv/matmul results saveable).  Unlocks larger
+# SOLVER.BATCH_SIZE when activations exceed HBM — the batch-scaling lever
+# (BENCH_BATCH_SCALE.json) costs one recomputed forward instead of OOM.
+_C.SOLVER.REMAT = "none"
 # After training, re-estimate BN running stats over N loader batches
 # (torch swa_utils.update_bn analog, train/bn_recal.py) and re-save the
 # final checkpoint.  Short from-scratch runs need this: the EfficientNet
@@ -171,6 +177,12 @@ _C.DIST.INITIALIZE = False                # call jax.distributed.initialize()
 # ---------------------------------------------------------------------------
 _C.DATA_PIPE = CfgNode()
 _C.DATA_PIPE.NUM_WORKERS = 4
+# >0: decode/augment/collate in forked worker PROCESSES (torch num_workers
+# semantics) instead of the thread pool — threads can't parallelize the
+# pure-Python/PIL per-item residue (GIL; BENCH_HOST.json thread scaling is
+# flat), processes can.  Same batches/order; augmentation RNG decorrelates
+# per worker and is not reproducible across worker counts (as in torch).
+_C.DATA_PIPE.WORKER_PROCESSES = 0
 _C.DATA_PIPE.PREFETCH = 2                 # device-buffer prefetch depth
 _C.DATA_PIPE.SEED = 0
 # TPU-native: run the per-pixel augment math on device (data/device_pipe.py)

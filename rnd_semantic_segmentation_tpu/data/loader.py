@@ -13,8 +13,12 @@ Collate conventions preserved (core/datasets/func.py:8-46): uint8 HWC images
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
+import random
 import threading
+import traceback
+import weakref
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
@@ -63,16 +67,119 @@ def build_collate_fn(cfg):
     return COLLATE_FNS.get(cfg.AUG.COLLATE, default_collate)
 
 
+def _worker_main(dataset, collate_fn, task_q, result_q, seed, worker_id):
+    """Loader worker process body: pull (serial, seq, indices) tasks, push
+    (serial, seq, batch, err) results.  Runs dataset.__getitem__ + collate
+    only — NO jax — so forking from a process with an initialized TPU/CPU
+    backend is safe (the child never touches the inherited client).
+    Global RNGs are reseeded per worker (torch worker_init semantics), so
+    augmentation draws decorrelate across workers; like torch, the random
+    stream is NOT reproducible across different worker counts."""
+    np.random.seed((int(seed) + 7919 * (worker_id + 1)) % (2 ** 32))
+    random.seed(int(seed) + 104729 * (worker_id + 1))
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        serial, seq, idxs = task
+        try:
+            batch = collate_fn([dataset[i] for i in idxs])
+            result_q.put((serial, seq, batch, None))
+        except BaseException:  # surface the full worker traceback in parent
+            result_q.put((serial, seq, None, traceback.format_exc()))
+
+
+class _ProcessPool:
+    """Persistent fork-based loader workers — the process analog of torch
+    ``DataLoader(num_workers=N)`` (/root/reference/train_src.py:16-25).
+
+    Threads cannot parallelize the pure-Python/PIL per-item residue (the GIL;
+    BENCH_HOST.json measured the thread pool flat 1→8 on this host), so hosts
+    with cores to spare get real processes: the dataset is inherited by fork
+    (copy-on-write — no pickling of PIL/ctypes handles), each worker owns a
+    task queue (round-robin by batch seq), and one shared result queue feeds
+    a reorder buffer in the parent so batch order is deterministic and
+    identical to the thread loader's.  Results carry an iteration serial so
+    an abandoned epoch's in-flight batches are discarded, not misdelivered."""
+
+    _GET_TIMEOUT_S = 5.0
+
+    def __init__(self, dataset, collate_fn, num_procs: int, seed: int):
+        ctx = multiprocessing.get_context("fork")
+        self._result_q = ctx.Queue()
+        self._task_qs = [ctx.Queue() for _ in range(num_procs)]
+        self._procs = []
+        for wid, tq in enumerate(self._task_qs):
+            p = ctx.Process(
+                target=_worker_main,
+                args=(dataset, collate_fn, tq, self._result_q, seed, wid),
+                daemon=True)
+            p.start()
+            self._procs.append(p)
+        self._closed = False
+
+    def submit(self, serial: int, seq: int, idxs) -> None:
+        self._task_qs[seq % len(self._task_qs)].put(
+            (serial, seq, [int(i) for i in idxs]))
+
+    def get(self, serial: int):
+        """Next (seq, batch) for this iteration serial; skips stale epochs."""
+        while True:
+            try:
+                got_serial, seq, batch, err = self._result_q.get(
+                    timeout=self._GET_TIMEOUT_S)
+            except queue.Empty:
+                dead = [p for p in self._procs if not p.is_alive()]
+                if dead:
+                    self.close()
+                    raise RuntimeError(
+                        "loader worker process(es) died: "
+                        + ", ".join(f"pid={p.pid} exitcode={p.exitcode}"
+                                    for p in dead))
+                continue
+            if got_serial != serial:
+                continue  # leftover from an abandoned iterator
+            if err is not None:
+                self.close()
+                raise RuntimeError(f"loader worker failed:\n{err}")
+            return seq, batch
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        for tq in self._task_qs:
+            try:
+                tq.put(None)
+            except (ValueError, OSError):
+                pass
+        for p in self._procs:
+            p.join(timeout=5)
+        for p in self._procs:
+            if p.is_alive():
+                p.terminate()
+                p.join(timeout=5)
+        for q_ in [*self._task_qs, self._result_q]:
+            q_.cancel_join_thread()
+            q_.close()
+
+
 class DataLoader:
     """``process_shard=True`` gives DistributedSampler semantics
     (train_adv.py:22-27): every process sees a disjoint, epoch-shuffled
-    slice; the per-process batch_size should be global/process_count."""
+    slice; the per-process batch_size should be global/process_count.
+
+    ``worker_processes>0`` switches decode/augment/collate from the thread
+    pool to that many forked worker processes (torch ``num_workers``
+    semantics — see _ProcessPool); batch contents and order are identical
+    for deterministic datasets."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 4,
                  collate_fn=None, seed: int = 0, process_shard: bool = False,
                  process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 worker_processes: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -89,6 +196,9 @@ class DataLoader:
                 process_count = jax.process_count()
         self.process_index = process_index or 0
         self.process_count = process_count or 1
+        self.worker_processes = int(worker_processes)
+        self._pool: Optional[_ProcessPool] = None
+        self._iter_serial = 0  # bumped per __iter__; stale results discarded
 
     def _local_len(self) -> int:
         n = len(self.dataset)
@@ -125,6 +235,10 @@ class DataLoader:
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
 
+        if self.worker_processes > 0:
+            yield from self._iter_procs(batches)
+            return
+
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             # pipeline two batches ahead of the consumer
             pending = []
@@ -134,6 +248,39 @@ class DataLoader:
                     yield self.collate_fn(list(pending.pop(0)))
             for fut in pending:
                 yield self.collate_fn(list(fut))
+
+    def _ensure_pool(self) -> _ProcessPool:
+        if self._pool is None or self._pool._closed:
+            pool = _ProcessPool(self.dataset, self.collate_fn,
+                                self.worker_processes, self.seed)
+            # tie worker lifetime to the loader object, not the interpreter
+            weakref.finalize(self, _ProcessPool.close, pool)
+            self._pool = pool
+        return self._pool
+
+    def _iter_procs(self, batches) -> Iterator[Dict[str, np.ndarray]]:
+        pool = self._ensure_pool()
+        self._iter_serial += 1
+        serial = self._iter_serial
+        depth = max(2 * self.worker_processes, 2)  # in-flight batch cap
+        next_submit = next_yield = 0
+        reorder: Dict[int, dict] = {}
+        while next_yield < len(batches):
+            while next_submit < len(batches) and \
+                    next_submit - next_yield < depth:
+                pool.submit(serial, next_submit, batches[next_submit])
+                next_submit += 1
+            while next_yield not in reorder:
+                seq, batch = pool.get(serial)
+                reorder[seq] = batch
+            yield reorder.pop(next_yield)
+            next_yield += 1
+
+    def close(self) -> None:
+        """Shut down worker processes (no-op for the thread path)."""
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
 
 
 def device_prefetch(iterator, size: int = 2, sharding=None):

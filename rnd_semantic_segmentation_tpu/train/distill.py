@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from .. import losses
 from .segmentor import Segmentor
 from .state import TrainState, apply_updates
-from .steps import make_family_loss, make_lr_schedule, make_optimizers
+from .steps import (make_family_loss, make_lr_schedule, make_optimizers,
+                    remat_wrap)
 
 
 def make_online_distill_step(segmentor: Segmentor, cfg, steps_per_epoch: int,
@@ -68,7 +69,7 @@ def make_online_distill_step(segmentor: Segmentor, cfg, steps_per_epoch: int,
 
         params = {n: m.params for n, m in state.modules.items()}
         (loss, new_stats), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(params)
+            remat_wrap(compute_loss, cfg), has_aux=True)(params)
         lr = lr_sched(state.step.astype(jnp.float32), epoch0)
         new_modules = {}
         for name, m in state.modules.items():

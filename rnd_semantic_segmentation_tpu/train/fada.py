@@ -33,7 +33,7 @@ from .. import losses
 from .schedules import poly_lr, warmup_cosine_lr
 from .segmentor import Segmentor
 from .state import ModuleState, TrainState, apply_updates, make_optimizer
-from .steps import make_family_loss
+from .steps import make_family_loss, remat_wrap
 
 TEMPERATURE = 1.8
 SOFT_CLIP = 0.9
@@ -139,7 +139,8 @@ def make_fada_train_step(segmentor: Segmentor, disc_module, cfg,
             return loss_seg + loss_adv, aux
 
         params = {n: m.params for n, m in state.seg.modules.items()}
-        (_, aux), grads = jax.value_and_grad(gen_loss, has_aux=True)(params)
+        (_, aux), grads = jax.value_and_grad(
+            remat_wrap(gen_loss, cfg), has_aux=True)(params)
         stats2, src_tap, tgt_tap, src_soft, tgt_soft, loss_seg, loss_adv = aux
 
         it = state.seg.step.astype(jnp.float32)

@@ -112,6 +112,29 @@ def make_optimizers(spec, cfg) -> Dict[str, Any]:
     return txs
 
 
+def remat_wrap(compute_loss: Callable, cfg) -> Callable:
+    """Apply ``SOLVER.REMAT`` rematerialization to a to-be-differentiated
+    loss closure — the TPU memory-for-FLOPs lever (HBM is the bottleneck;
+    recomputing the forward during backward frees all saved activations).
+
+    Modes: ``none`` (save everything, XLA default), ``full``
+    (``jax.checkpoint`` with nothing saveable — max memory savings, one
+    extra forward of FLOPs), ``dots`` (matmul/conv results saveable —
+    elementwise/BN intermediates recompute, MXU work does not).  Composes
+    with ``SOLVER.ACCUM_STEPS`` (each microbatch rematerializes).  No torch
+    counterpart in the reference (torch.utils.checkpoint unused there)."""
+    mode = str(cfg.SOLVER.REMAT).lower()
+    if mode in ("none", "", "0", "false"):
+        return compute_loss
+    if mode == "full":
+        policy = None
+    elif mode == "dots":
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    else:
+        raise ValueError(f"SOLVER.REMAT must be none|full|dots, got {mode!r}")
+    return jax.checkpoint(compute_loss, policy=policy)
+
+
 def make_src_train_step(segmentor: Segmentor, cfg, steps_per_epoch: int,
                         base_rng: Optional[jax.Array] = None,
                         jit: bool = True) -> Callable:
@@ -142,7 +165,8 @@ def make_src_train_step(segmentor: Segmentor, cfg, steps_per_epoch: int,
                     params, stats, xs, label_size=ys.shape[1:3],
                     train=True, rngs=rngs)
                 return loss_fn(outputs, ys), new_stats
-            return jax.value_and_grad(compute_loss, has_aux=True)(params)
+            return jax.value_and_grad(
+                remat_wrap(compute_loss, cfg), has_aux=True)(params)
 
         if accum == 1:
             stats = {n: m.stats for n, m in state.modules.items()}
