@@ -33,6 +33,7 @@ CASES = [
 
 S2D_MAX_CHANNELS = 0  # --s2d flag: A/B the narrow-conv s2d policy (ops/s2d.py)
 SUBPIXEL_DECONV = False  # --subpixel: A/B the deconv phase decomposition
+REMAT = "none"  # --remat flag: SOLVER.REMAT for batch-scaling probes past HBM
 
 
 def bench(name, nc, size, batch, iters=8, warmup=2):
@@ -42,6 +43,10 @@ def bench(name, nc, size, batch, iters=8, warmup=2):
     cfg.MODEL.FREEZE_BN = True
     cfg.SOLVER.BASE_LR = 1e-4
     cfg.SOLVER.EPOCHS = 1
+    if REMAT == "blocks":
+        cfg.MODEL.REMAT_BLOCKS = True
+    else:
+        cfg.SOLVER.REMAT = REMAT
     cfg.MODEL.S2D_MAX_CHANNELS = S2D_MAX_CHANNELS
     cfg.MODEL.SUBPIXEL_DECONV = SUBPIXEL_DECONV
     spec = build_segmentor(cfg)
@@ -146,15 +151,21 @@ def main():
     ap.add_argument("--subpixel", action="store_true",
                     help="MODEL.SUBPIXEL_DECONV for this run (deconv phase "
                          "decomposition A/B)")
+    ap.add_argument("--remat", default="none",
+                    help="rematerialization for this run (none|full|dots|blocks): "
+                         "rematerialize activations to fit batches past "
+                         "the HBM ceiling")
     ap.add_argument("--batch", type=int, default=None,
                     help="override the per-case batch size (batch-scaling "
                          "probe; floor/bandwidth-bound families amortize "
                          "per-op cost with larger batches)")
     args = ap.parse_args()
-    global S2D_MAX_CHANNELS, SUBPIXEL_DECONV
+    global S2D_MAX_CHANNELS, SUBPIXEL_DECONV, REMAT
     S2D_MAX_CHANNELS = args.s2d
     SUBPIXEL_DECONV = args.subpixel
-    if (args.s2d or args.subpixel or args.batch) and args.family is None:
+    REMAT = args.remat
+    if (args.s2d or args.subpixel or args.batch or args.remat != "none") \
+            and args.family is None:
         ap.error("--s2d/--subpixel/--batch are probe flags: combine with "
                  "--family so the committed BENCH_FAMILIES.json stays "
                  "default-config")

@@ -137,7 +137,12 @@ def main():
         ap.error("--batch is a probe flag: combine with --model so the "
                  "committed BENCH_SERVING.json stays default-config")
 
-    cases = [c for c in CASES if args.model is None or c[0] == args.model]
+    # substring match like bench_all --family; exact-match used to let a
+    # typo (or a family shorthand) select zero cases and exit 0 silently
+    cases = [c for c in CASES if args.model is None or args.model in c[0]]
+    if not cases:
+        ap.error(f"--model {args.model!r} matches none of "
+                 f"{[c[0] for c in CASES]}")
     if args.batch:
         cases = [(n, nc, sz, args.batch) for n, nc, sz, _ in cases]
     rows = []

@@ -40,6 +40,13 @@ _C.MODEL.SUBPIXEL_DECONV = False
 # EfficientNet encoder is HBM-bandwidth-bound and this removes the expanded
 # (6x) tensor's HBM round trip.  Eval/serving only; train keeps XLA ops.
 _C.MODEL.FUSED_MBCONV = False
+# Block-granular rematerialization inside supported backbones (currently the
+# EfficientNet encoder: each MBConv block recomputes in the backward, only
+# block boundaries stay resident).  THIS is the knob that lowers peak HBM —
+# measured attn@512 b64: temp 14.3 GB -> 7.9 GB for a 12% step-time cost
+# (PROBE_REMAT.json); whole-loss SOLVER.REMAT does not.  Exact numerics;
+# identical param tree, so checkpoints are interchangeable.
+_C.MODEL.REMAT_BLOCKS = False
 
 # ---------------------------------------------------------------------------
 # Input / preprocessing
@@ -119,11 +126,14 @@ _C.SOLVER.ADV_WEIGHT = 0.001
 # TPU-native: microbatch gradient accumulation inside the jitted step
 # (effective batch = BATCH_SIZE, HBM footprint = BATCH_SIZE/ACCUM_STEPS)
 _C.SOLVER.ACCUM_STEPS = 1
-# TPU-native: activation rematerialization for the train-step backward
-# (train/steps.py remat_wrap).  none | full (jax.checkpoint, nothing
-# saveable) | dots (conv/matmul results saveable).  Unlocks larger
-# SOLVER.BATCH_SIZE when activations exceed HBM — the batch-scaling lever
-# (BENCH_BATCH_SCALE.json) costs one recomputed forward instead of OOM.
+# TPU-native: whole-loss activation rematerialization (train/steps.py
+# remat_wrap).  none | full (jax.checkpoint, nothing saveable) | dots
+# (conv/matmul results saveable).  Measured caveat (PROBE_REMAT.json,
+# attn@512 b64): a SINGLE remat block keeps the recomputed forward live
+# through the backward sweep, so peak HBM does NOT drop (14.3 -> 15.3 GB)
+# — for real memory relief use block-granular MODEL.REMAT_BLOCKS
+# (14.3 -> 7.9 GB there).  These modes stay for exactness experiments and
+# as the wrap point for future segmented policies.
 _C.SOLVER.REMAT = "none"
 # After training, re-estimate BN running stats over N loader batches
 # (torch swa_utils.update_bn analog, train/bn_recal.py) and re-save the

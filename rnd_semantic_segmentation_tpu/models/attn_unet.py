@@ -122,9 +122,12 @@ class AttnEfficientNetUnet(nn.Module):
     backbone_name: str = "efficientnet-b2"
     num_classes: int = 2
     bn_axis_name: Optional[str] = None
+    remat_blocks: bool = False  # MODEL.REMAT_BLOCKS (see EfficientNetEncoder)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        endpoints = EfficientNetEncoder(self.backbone_name, name="encoder")(x, train)
+        endpoints = EfficientNetEncoder(self.backbone_name,
+                                        remat_blocks=self.remat_blocks,
+                                        name="encoder")(x, train)
         return AttnDecoder(self.backbone_name, self.num_classes,
                            self.bn_axis_name, name="decoder")(endpoints, train)

@@ -128,18 +128,21 @@ def build_segmentor(cfg, bn_axis_name: Optional[str] = None) -> SegmentorSpec:
         )
     if family in ("attn", "attnwrap"):
         bb = backbone or "efficientnet-b2"
+        remat_blocks = bool(getattr(cfg.MODEL, "REMAT_BLOCKS", False))
         if family == "attnwrap":
             return SegmentorSpec(
                 family=family, backbone=bb,
                 modules={"model": AttnEfficientNetUnet(backbone_name=bb, num_classes=nc,
-                                                       bn_axis_name=bn_axis_name)},
+                                                       bn_axis_name=bn_axis_name,
+                                                       remat_blocks=remat_blocks)},
                 lr_mults={"model": 1.0},
                 optimizer="adam", ckpt_prefix="AttnWrap", disc_tap="reduction_5",
             )
         return SegmentorSpec(
             family=family, backbone=bb,
             modules={
-                "encoder": EfficientNetEncoder(backbone_name=bb),
+                "encoder": EfficientNetEncoder(backbone_name=bb,
+                                                remat_blocks=remat_blocks),
                 "decoder": AttnDecoder(backbone_name=bb, num_classes=nc,
                                        bn_axis_name=bn_axis_name),
             },

@@ -155,11 +155,20 @@ class EfficientNetEncoder(nn.Module):
 
     backbone_name: str = "efficientnet-b2"
     drop_connect_rate: float = 0.2
+    # MODEL.REMAT_BLOCKS: rematerialize each MBConv block in the backward
+    # pass (nn.remat at block granularity).  Block boundaries are the only
+    # saved activations, so peak HBM drops with depth — unlike whole-loss
+    # SOLVER.REMAT, which keeps the entire recomputed forward live through
+    # the backward sweep and saves nothing (measured: PROBE_REMAT.json).
+    # Param tree and numerics are unchanged (tests/test_remat.py).
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         width, depth, _, _ = _PARAMS[self.backbone_name]
         bn = lambda name: BatchNorm(momentum=0.01, epsilon=1e-3, name=name)
+        block_cls = (nn.remat(MBConvBlock, static_argnums=(2,))
+                     if self.remat_blocks else MBConvBlock)
 
         x = _SameConv(round_filters(32, width), 3, 2, name="conv_stem")(x)
         x = swish(bn("bn0")(x, train))
@@ -177,8 +186,8 @@ class EfficientNetEncoder(nn.Module):
         prev = x
         for idx, (k, s, e, fi, fo, se) in enumerate(blocks):
             rate = self.drop_connect_rate * idx / len(blocks)
-            x = MBConvBlock(fi, fo, k, s, e, se, drop_connect_rate=rate,
-                            name=f"blocks_{idx}")(x, train)
+            x = block_cls(fi, fo, k, s, e, se, drop_connect_rate=rate,
+                          name=f"blocks_{idx}")(x, train)
             if prev.shape[1] > x.shape[1]:
                 endpoints[f"reduction_{len(endpoints) + 1}"] = prev
             prev = x

@@ -94,6 +94,59 @@ def test_remat_primitive_present_in_jaxpr():
         assert ("remat" in jaxpr) == expect, mode
 
 
+def test_remat_blocks_exact_and_ckpt_compatible():
+    """MODEL.REMAT_BLOCKS (block-granular nn.remat in the EfficientNet
+    encoder): identical param tree (checkpoints interchangeable), identical
+    eval logits, train next-state equal up to recompute rounding, and the
+    remat primitive present in the traced step."""
+    def build(remat_blocks):
+        cfg = get_default_cfg()
+        cfg.MODEL.NAME = "attn_efficientnet-b0"
+        cfg.MODEL.DTYPE = "float32"
+        cfg.MODEL.NUM_CLASSES = 2
+        cfg.MODEL.REMAT_BLOCKS = remat_blocks
+        cfg.SOLVER.BASE_LR = 1e-3
+        cfg.SOLVER.EPOCHS = 1
+        return cfg
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 2, (2, 64, 64)).astype(np.int32))
+
+    results = {}
+    for mode in (False, True):
+        cfg = build(mode)
+        spec = build_segmentor(cfg)
+        seg = Segmentor(spec, 2)
+        variables = seg.init(jax.random.PRNGKey(0), x)
+        state = seg.make_states(variables, make_optimizers(spec, cfg))
+        p0 = {n_: m.params for n_, m in state.modules.items()}
+        s0 = {n_: m.stats for n_, m in state.modules.items()}
+        logits, _, _ = seg.forward(p0, s0, x, label_size=(64, 64),
+                                   train=False)
+        step = make_src_train_step(seg, cfg, 10, jit=False)
+        jaxpr = str(jax.make_jaxpr(step)(
+            state, {"image": x, "label": y}, jnp.float32(0)))
+        new_state, metrics = step(state, {"image": x, "label": y},
+                                  jnp.float32(0))
+        results[mode] = {
+            "tree": jax.tree_util.tree_structure(p0),
+            "logits": np.asarray(logits[0]),
+            "remat_in_jaxpr": "remat" in jaxpr,
+            "loss": float(metrics["loss"]),
+            "params": jax.device_get(
+                {n_: m.params for n_, m in new_state.modules.items()}),
+        }
+
+    assert results[False]["tree"] == results[True]["tree"]
+    np.testing.assert_array_equal(results[False]["logits"],
+                                  results[True]["logits"])
+    assert not results[False]["remat_in_jaxpr"]
+    assert results[True]["remat_in_jaxpr"]
+    assert results[False]["loss"] == results[True]["loss"]
+    _assert_params_close(results[False]["params"], results[True]["params"])
+
+
 def test_remat_rejects_unknown_mode():
     from rnd_semantic_segmentation_tpu.train.steps import remat_wrap
     cfg = _cfg("sometimes")
