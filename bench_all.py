@@ -166,9 +166,14 @@ def main():
     REMAT = args.remat
     if (args.s2d or args.subpixel or args.batch or args.remat != "none") \
             and args.family is None:
-        ap.error("--s2d/--subpixel/--batch are probe flags: combine with "
-                 "--family so the committed BENCH_FAMILIES.json stays "
+        ap.error("--s2d/--subpixel/--batch/--remat are probe flags: combine "
+                 "with --family so the committed BENCH_FAMILIES.json stays "
                  "default-config")
+    if args.remat == "blocks" and "attn" not in args.family:
+        # MODEL.REMAT_BLOCKS is only wired into the EfficientNet encoder;
+        # for any other family the flag would silently bench the baseline
+        ap.error("--remat blocks is only implemented for the attn family "
+                 "(EfficientNet MODEL.REMAT_BLOCKS)")
     rows = []
 
     def emit(row):

@@ -87,17 +87,16 @@ def probe(name, nc, size, batch, remat, iters=6):
             v = getattr(mem, k, None)
             if v is not None:
                 row[k.replace("_in_bytes", "_mb")] = round(v / 2**20, 1)
-    # measured step time (donated state: rebuild per timing not needed —
-    # time the compiled executable directly)
-    state, m = step(state, batch_d, jnp.float32(0))
+    # time the SAME executable we analyzed (calling the jitted step would
+    # re-trace and pay the remote compile round-trip a second time)
+    state, m = compiled(state, batch_d, jnp.float32(0))
     float(m["loss"])  # sync through the tunnel
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = step(state, batch_d, jnp.float32(0))
+        state, m = compiled(state, batch_d, jnp.float32(0))
     float(m["loss"])
     row["step_ms"] = round((time.perf_counter() - t0) / iters * 1000, 2)
-    row["train_images_per_sec"] = round(batch * iters * 1000
-                                        / (row["step_ms"] * iters), 1)
+    row["train_images_per_sec"] = round(batch * 1000 / row["step_ms"], 1)
     return row
 
 
@@ -125,6 +124,8 @@ def main():
                        "remat": remat, "error": str(e)[:200]}
             out.append(row)
             print(json.dumps(row), flush=True)
+    if TINY:
+        return  # CPU shakeout: don't pollute the chip artifact
     # merge with prior runs on (model, size, batch, remat) so partial
     # sweeps (--modes blocks) don't erase earlier rows
     path = os.path.join(os.path.dirname(os.path.dirname(

@@ -60,6 +60,31 @@ def _motion_blur(image: np.ndarray, ksize: int) -> np.ndarray:
     return out.astype(image.dtype)
 
 
+
+def _pra_random_crop(image, label, crop=220):
+    """pra_trans' p=0.5 random-or-center crop (needs the original-resolution
+    image, so it stays on the host even under DATA_PIPE.DEVICE_AUG) — shared
+    by pra_trans and the device-aug host residue so the two paths can't
+    drift."""
+    if random.random() < 0.5 and min(image.shape[:2]) > crop:
+        h, w = image.shape[:2]
+        if random.random() < 0.5:   # random crop
+            i, j = random.randint(0, h - crop), random.randint(0, w - crop)
+        else:                        # center crop
+            i, j = (h - crop) // 2, (w - crop) // 2
+        image = image[i:i + crop, j:j + crop]
+        label = label[i:i + crop, j:j + crop]
+    return image, label
+
+
+def _pra_resize(image, label, trainsize):
+    """BILINEAR image / NEAREST label resize pair to the square trainsize."""
+    im = T._as_pil(image).resize((trainsize, trainsize), Image.BILINEAR)
+    lb = Image.fromarray(label.astype(np.float32)).resize(
+        (trainsize, trainsize), Image.NEAREST)
+    return im, lb
+
+
 class Augmenter:
     def __init__(self, cfg, mode: str = "train", is_source: bool = True):
         self.cfg = cfg
@@ -91,21 +116,9 @@ class Augmenter:
             trainsize = cfg.INPUT.TRAINSIZE
 
             def fn(image, label):
-                image = np.asarray(image)
-                label = np.asarray(label)
-                # p=0.5 random-or-center 220 crop (pra_trans) — host-only:
-                # it needs the original-resolution image
-                if random.random() < 0.5 and min(image.shape[:2]) > 220:
-                    h, w = image.shape[:2]
-                    if random.random() < 0.5:
-                        i, j = random.randint(0, h - 220), random.randint(0, w - 220)
-                    else:
-                        i, j = (h - 220) // 2, (w - 220) // 2
-                    image = image[i:i + 220, j:j + 220]
-                    label = label[i:i + 220, j:j + 220]
-                im = T._as_pil(image).resize((trainsize, trainsize), Image.BILINEAR)
-                lb = Image.fromarray(label.astype(np.float32)).resize(
-                    (trainsize, trainsize), Image.NEAREST)
+                image, label = _pra_random_crop(np.asarray(image),
+                                                np.asarray(label))
+                im, lb = _pra_resize(image, label, trainsize)
                 # uint8 out -> the collate /255 rule feeds the device [0,1]
                 return np.asarray(im), np.asarray(lb)
             return fn
@@ -174,20 +187,8 @@ class Augmenter:
                         image, label = image[:, ::-1].copy(), label[:, ::-1].copy()
                 im, _ = T.ColorJitter(0.2, 0.2, 0.2, 0.1)(image, None)
                 image = np.asarray(im)
-                if random.random() < 0.5 and min(image.shape[:2]) > 220:
-                    h, w = image.shape[:2]
-                    if random.random() < 0.5:   # random crop
-                        i, j = random.randint(0, h - 220), random.randint(0, w - 220)
-                    else:                        # center crop
-                        i, j = (h - 220) // 2, (w - 220) // 2
-                    image = image[i:i + 220, j:j + 220]
-                    label = label[i:i + 220, j:j + 220]
-            # transpose (albumentations Transpose is a flip+rot; plain HW swap)
-            if self.mode != "train":
-                pass
-            im = T._as_pil(image).resize((trainsize, trainsize), Image.BILINEAR)
-            lb = Image.fromarray(label.astype(np.float32)).resize(
-                (trainsize, trainsize), Image.NEAREST)
+                image, label = _pra_random_crop(image, label)
+            im, lb = _pra_resize(image, label, trainsize)
             image = np.asarray(im, np.float32) / 255.0
             image = (image - mean) / std
             return image.astype(np.float32), np.asarray(lb)

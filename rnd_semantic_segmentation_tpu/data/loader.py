@@ -100,9 +100,18 @@ class _ProcessPool:
     task queue (round-robin by batch seq), and one shared result queue feeds
     a reorder buffer in the parent so batch order is deterministic and
     identical to the thread loader's.  Results carry an iteration serial so
-    an abandoned epoch's in-flight batches are discarded, not misdelivered."""
+    an abandoned epoch's in-flight batches are discarded, not misdelivered.
+
+    Fork-safety: like torch's fork-start workers, forking a process that
+    already runs JAX dispatch threads can, in principle, inherit a held
+    lock (malloc arena, RPC client) and hang the child.  Workers never
+    call jax, DataLoader spawns the pool EAGERLY at construction (in the
+    CLIs that is before the first device dispatch), and get() carries a
+    stall watchdog that turns a silent hang into an actionable error
+    instead of an infinite wait."""
 
     _GET_TIMEOUT_S = 5.0
+    _STALL_LIMIT_S = 300.0  # alive-but-silent workers: raise, don't hang
 
     def __init__(self, dataset, collate_fn, num_procs: int, seed: int):
         ctx = multiprocessing.get_context("fork")
@@ -124,6 +133,7 @@ class _ProcessPool:
 
     def get(self, serial: int):
         """Next (seq, batch) for this iteration serial; skips stale epochs."""
+        waited = 0.0
         while True:
             try:
                 got_serial, seq, batch, err = self._result_q.get(
@@ -136,7 +146,17 @@ class _ProcessPool:
                         "loader worker process(es) died: "
                         + ", ".join(f"pid={p.pid} exitcode={p.exitcode}"
                                     for p in dead))
+                waited += self._GET_TIMEOUT_S
+                if waited >= self._STALL_LIMIT_S:
+                    self.close()
+                    raise RuntimeError(
+                        f"loader workers alive but silent for {waited:.0f}s "
+                        "— likely a fork-inherited lock (fork after heavy "
+                        "threading) or a stuck __getitem__; reduce "
+                        "DATA_PIPE.WORKER_PROCESSES to 0 (thread pool) or "
+                        "construct loaders before first device use")
                 continue
+            waited = 0.0
             if got_serial != serial:
                 continue  # leftover from an abandoned iterator
             if err is not None:
@@ -199,6 +219,11 @@ class DataLoader:
         self.worker_processes = int(worker_processes)
         self._pool: Optional[_ProcessPool] = None
         self._iter_serial = 0  # bumped per __iter__; stale results discarded
+        if self.worker_processes > 0:
+            # fork EAGERLY: at construction time (the CLIs build loaders
+            # before the first device dispatch) far fewer threads are live
+            # than at first-iteration time inside the Trainer
+            self._ensure_pool()
 
     def _local_len(self) -> int:
         n = len(self.dataset)

@@ -230,8 +230,16 @@ class Trainer:
             return
         from .bn_recal import recalibrate_batch_stats
         batches = []
-        for batch in self.train_loader:
-            batches.append({"image": np.asarray(batch["image"])})
+        for i, batch in enumerate(self.train_loader):
+            if self.device_aug is not None:
+                # recalibrate on the distribution the BN layers actually
+                # saw in training: with DATA_PIPE.DEVICE_AUG the per-pixel
+                # normalize/jitter lives in the device pipeline, so raw
+                # loader images ([0,1]) are the WRONG input statistics
+                batch = self.device_aug(
+                    {k: v for k, v in batch.items() if k != "name"}, i)
+            batches.append(
+                {"image": np.asarray(batch["image"]).astype(np.float32)})
             if len(batches) >= n_batches:
                 break
         params = {n: m.params for n, m in self.state.modules.items()}

@@ -125,3 +125,34 @@ def test_device_aug_fada_e2e(tmp_path):
     assert ft.device_aug_src is not None and ft.device_aug_tgt is not None
     ft.train()
     assert (tmp_path / "AsppFada-1").exists()
+
+
+def test_bn_recal_uses_device_aug_distribution(tmp_path, monkeypatch):
+    """With DATA_PIPE.DEVICE_AUG, _recalibrate_bn must feed the jitted
+    device pipeline's output (normalized for the pra family), not raw
+    [0,1] loader images — otherwise the final checkpoint's BN stats come
+    from a distribution the model never sees (review finding, round 4)."""
+    cfg = _cfg(tmp_path, name="pranet_res2net50", nc=2)
+    cfg.AUG.NAME = "pra"
+    cfg.AUG.COLLATE = "pranet"
+    cfg.INPUT.TRAINSIZE = 64
+    cfg.INPUT.SOURCE_INPUT_SIZE_TRAIN = (64, 64)
+    cfg.DATA_PIPE.DEVICE_AUG = True
+    cfg.SOLVER.BN_RECAL_BATCHES = 0  # call _recalibrate_bn directly below
+    trainer = Trainer("bnrecal", cfg, _loader(cfg), 0)
+
+    seen = []
+
+    def fake_recal(segmentor, params, stats, batches, rng=None):
+        seen.extend(batches)
+        return stats
+
+    monkeypatch.setattr("rnd_semantic_segmentation_tpu.train.bn_recal."
+                        "recalibrate_batch_stats", fake_recal)
+    trainer._recalibrate_bn(2)
+    assert len(seen) == 2
+    for b in seen:
+        img = np.asarray(b["image"], np.float32)
+        # pra device pipeline imagenet-normalizes: mean ~0 and values far
+        # outside [0,1]; raw loader batches would be entirely within [0,1]
+        assert img.min() < -0.5 and img.max() > 1.5, (img.min(), img.max())
