@@ -169,11 +169,6 @@ def main():
         ap.error("--s2d/--subpixel/--batch/--remat are probe flags: combine "
                  "with --family so the committed BENCH_FAMILIES.json stays "
                  "default-config")
-    if args.remat == "blocks" and "attn" not in args.family:
-        # MODEL.REMAT_BLOCKS is only wired into the EfficientNet encoder;
-        # for any other family the flag would silently bench the baseline
-        ap.error("--remat blocks is only implemented for the attn family "
-                 "(EfficientNet MODEL.REMAT_BLOCKS)")
     rows = []
 
     def emit(row):

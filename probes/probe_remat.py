@@ -114,8 +114,6 @@ def main():
         if args.batch:
             batch = args.batch
         for remat in args.modes.split(","):
-            if remat == "blocks" and "attn" not in name:
-                continue  # MODEL.REMAT_BLOCKS only wired into EfficientNet
             try:
                 row = {"model": name, "size": size, "batch": batch,
                        **probe(name, nc, size, batch, remat)}

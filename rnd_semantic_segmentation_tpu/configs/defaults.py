@@ -40,12 +40,13 @@ _C.MODEL.SUBPIXEL_DECONV = False
 # EfficientNet encoder is HBM-bandwidth-bound and this removes the expanded
 # (6x) tensor's HBM round trip.  Eval/serving only; train keeps XLA ops.
 _C.MODEL.FUSED_MBCONV = False
-# Block-granular rematerialization inside supported backbones (currently the
-# EfficientNet encoder: each MBConv block recomputes in the backward, only
-# block boundaries stay resident).  THIS is the knob that lowers peak HBM —
-# measured attn@512 b64: temp 14.3 GB -> 7.9 GB for a 12% step-time cost
-# (PROBE_REMAT.json); whole-loss SOLVER.REMAT does not.  Exact numerics;
-# identical param tree, so checkpoints are interchangeable.
+# Block-granular rematerialization inside every backbone (EfficientNet
+# MBConv, ResNet/Res2Net residual units, HarDNet blocks): each block
+# recomputes in the backward, only block boundaries stay resident.  THIS
+# is the knob that lowers peak HBM — measured attn@512 b64: temp 14.3 GB
+# -> 7.9 GB for a 12% step-time cost (PROBE_REMAT.json); whole-loss
+# SOLVER.REMAT does not.  Exact numerics; identical param tree, so
+# checkpoints are interchangeable.
 _C.MODEL.REMAT_BLOCKS = False
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,7 @@ class ResNetFeatureExtractor(nn.Module):
     backbone_name: str = "resnet101"
     freeze_bn: bool = False
     bn_axis_name: Optional[str] = None
+    remat_blocks: bool = False  # MODEL.REMAT_BLOCKS (see resnet.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -35,6 +36,7 @@ class ResNetFeatureExtractor(nn.Module):
             norm_kind="frozen" if self.freeze_bn else "bn",
             bn_axis_name=self.bn_axis_name,
             return_layers=("layer4",),
+            remat_blocks=self.remat_blocks,
             name="backbone",
         )(x, train)
         return taps["layer4"]

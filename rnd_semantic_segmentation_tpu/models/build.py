@@ -38,9 +38,10 @@ def split_model_name(name: str) -> Tuple[str, str]:
 def build_feature_extractor(cfg, bn_axis_name: Optional[str] = None) -> nn.Module:
     _, backbone = split_model_name(cfg.MODEL.NAME)
     if backbone.startswith("resnet"):
-        return ResNetFeatureExtractor(backbone_name=backbone,
-                                      freeze_bn=cfg.MODEL.FREEZE_BN,
-                                      bn_axis_name=bn_axis_name)
+        return ResNetFeatureExtractor(
+            backbone_name=backbone, freeze_bn=cfg.MODEL.FREEZE_BN,
+            bn_axis_name=bn_axis_name,
+            remat_blocks=bool(getattr(cfg.MODEL, "REMAT_BLOCKS", False)))
     if backbone.startswith("vgg"):
         return VGG16FeatureExtractor(freeze_bn=cfg.MODEL.FREEZE_BN)
     raise NotImplementedError(backbone)
@@ -111,7 +112,10 @@ def build_segmentor(cfg, bn_axis_name: Optional[str] = None) -> SegmentorSpec:
         return SegmentorSpec(
             family=family, backbone=backbone or "hardnet68",
             modules={
-                "encoder": GCPAEncoder(bn_axis_name=bn_axis_name),
+                "encoder": GCPAEncoder(
+                    bn_axis_name=bn_axis_name,
+                    remat_blocks=bool(getattr(cfg.MODEL, "REMAT_BLOCKS",
+                                              False))),
                 "decoder": GCPADecoder(num_classes=nc, bn_axis_name=bn_axis_name),
             },
             lr_mults={"encoder": 1.0, "decoder": 10.0},
@@ -121,8 +125,10 @@ def build_segmentor(cfg, bn_axis_name: Optional[str] = None) -> SegmentorSpec:
         bb = backbone or "res2net50"
         return SegmentorSpec(
             family=family, backbone=bb,
-            modules={"model": PraNet(backbone=bb, with_tap=True,
-                                     bn_axis_name=bn_axis_name)},
+            modules={"model": PraNet(
+                backbone=bb, with_tap=True, bn_axis_name=bn_axis_name,
+                remat_blocks=bool(getattr(cfg.MODEL, "REMAT_BLOCKS",
+                                          False)))},
             lr_mults={"model": 0.125},  # Adam at BASE_LR/8 (pranet_trainer.py:20)
             optimizer="adam", ckpt_prefix="PraNet", disc_tap="layer4",
         )

@@ -210,10 +210,12 @@ class GCPAEncoder(nn.Module):
     """HarDNet68 wrapper returning the 4 taps (gcpa_cc2.py:16-23)."""
 
     bn_axis_name: Optional[str] = None
+    remat_blocks: bool = False  # MODEL.REMAT_BLOCKS (see resnet.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return HarDNet(arch=68, bn_axis_name=self.bn_axis_name, name="hardnet")(x, train)
+        return HarDNet(arch=68, bn_axis_name=self.bn_axis_name,
+                       remat_blocks=self.remat_blocks, name="hardnet")(x, train)
 
 
 class GCPADecoder(nn.Module):

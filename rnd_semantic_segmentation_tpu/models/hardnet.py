@@ -115,9 +115,12 @@ class HarDNet(nn.Module):
 
     arch: int = 68
     bn_axis_name: Optional[str] = None
+    remat_blocks: bool = False  # MODEL.REMAT_BLOCKS (see resnet.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        block_cls = (nn.remat(HarDBlock, static_argnums=(2,))
+                     if self.remat_blocks else HarDBlock)
         spec = _HARDNET_ARCHS[self.arch]
         first_ch, ch_list = spec["first_ch"], spec["ch_list"]
         gr, grmul = spec["gr"], spec["grmul"]
@@ -143,7 +146,7 @@ class HarDNet(nn.Module):
 
         ch = first_ch[1]
         for i in range(len(n_layers)):
-            blk = HarDBlock(ch, gr[i], grmul, n_layers[i],
+            blk = block_cls(ch, gr[i], grmul, n_layers[i],
                             bn_axis_name=self.bn_axis_name, name=f"base_{base_i}")
             ch = hardblock_out_channels(ch, gr[i], grmul, n_layers[i])
             x = bump(blk(x, train))

@@ -129,16 +129,19 @@ class PraNet(nn.Module):
     # the FADA discriminator tap (the reference's train_adv.py:52-53 dispatches
     # to an undefined PraNetFada; here the pranet adversarial path works)
     with_tap: bool = False
+    remat_blocks: bool = False  # MODEL.REMAT_BLOCKS (see resnet.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ax = self.bn_axis_name
         if self.backbone == "res2net50":
-            taps = Res2Net(bn_axis_name=ax, name="resnet")(x, train)
+            taps = Res2Net(bn_axis_name=ax, remat_blocks=self.remat_blocks,
+                           name="resnet")(x, train)
         else:
             from .resnet import ResNet
             taps = ResNet(arch=self.backbone, bn_axis_name=ax,
                           return_layers=("layer1", "layer2", "layer3", "layer4"),
+                          remat_blocks=self.remat_blocks,
                           name="resnet")(x, train)
         x1, x2, x3, x4 = taps["layer1"], taps["layer2"], taps["layer3"], taps["layer4"]
 

@@ -81,9 +81,12 @@ class Res2Net(nn.Module):
     scale: int = 4
     gc_blocks: bool = False
     bn_axis_name: Optional[str] = None
+    remat_blocks: bool = False  # MODEL.REMAT_BLOCKS (see resnet.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        block_cls = (nn.remat(Bottle2neck, static_argnums=(2,))
+                     if self.remat_blocks else Bottle2neck)
         ax = self.bn_axis_name
         # deep stem (Res2Net_v1b.py:101-109)
         x = Conv2d(32, 3, 2, padding=1, use_bias=False, name="stem_conv0")(x)
@@ -105,7 +108,7 @@ class Res2Net(nn.Module):
             for b in range(blocks):
                 s = stride if b == 0 else 1
                 has_ds = b == 0 and (stride != 1 or inplanes != planes * 4)
-                x = Bottle2neck(
+                x = block_cls(
                     planes=planes, stride=s, has_downsample=has_ds,
                     base_width=self.base_width, scale=self.scale,
                     stype="stage" if b == 0 else "normal",

@@ -99,10 +99,16 @@ class ResNet(nn.Module):
     norm_kind: str = "bn"
     bn_axis_name: Optional[str] = None
     return_layers: Tuple[str, ...] = ("layer4",)
+    # MODEL.REMAT_BLOCKS: per-residual-block rematerialization (only block
+    # boundaries stay resident through the backward).  Identical param tree
+    # and numerics; see configs/defaults.py + PROBE_REMAT.json.
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         block, layer_sizes, groups, base_width = _ARCHS[self.arch]
+        block_cls = (nn.remat(block, static_argnums=(2,))
+                     if self.remat_blocks else block)
         norm = make_norm(self.norm_kind, self.bn_axis_name)
 
         x = Conv2d(64, 7, 2, padding=3, use_bias=False, name="conv1")(x)
@@ -123,7 +129,7 @@ class ResNet(nn.Module):
                 s = stride if b == 0 else 1
                 has_ds = b == 0 and (s != 1 or inplanes != planes * block.expansion)
                 d = prev_dilation if b == 0 else dilation
-                x = block(
+                x = block_cls(
                     planes=planes, stride=s, dilation=d, has_downsample=has_ds,
                     norm=norm, name=f"layer{idx + 1}_{b}",
                     **({"groups": groups, "base_width": base_width}

@@ -147,6 +147,51 @@ def test_remat_blocks_exact_and_ckpt_compatible():
     _assert_params_close(results[False]["params"], results[True]["params"])
 
 
+@pytest.mark.parametrize("backbone", ["resnet", "res2net", "hardnet"])
+def test_remat_blocks_backbones(backbone):
+    """remat_blocks on ResNet/Res2Net/HarDNet: identical param tree and
+    forward outputs, remat primitive present in the gradient graph."""
+    import flax.linen as nn  # noqa: F401  (models already import it)
+    if backbone == "resnet":
+        from rnd_semantic_segmentation_tpu.models.resnet import ResNet
+        mk = lambda r: ResNet(arch="resnet18", remat_blocks=r,
+                              return_layers=("layer4",))
+        out_key = "layer4"
+    elif backbone == "res2net":
+        from rnd_semantic_segmentation_tpu.models.res2net import Res2Net
+        mk = lambda r: Res2Net(layers=(1, 1, 1, 1), remat_blocks=r)
+        out_key = "layer4"
+    else:
+        from rnd_semantic_segmentation_tpu.models.hardnet import HarDNet
+        mk = lambda r: HarDNet(arch=68, remat_blocks=r)
+        out_key = None  # tuple output
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3)
+                    .astype(np.float32))
+    v = {}
+    out = {}
+    for r in (False, True):
+        m = mk(r)
+        v[r] = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(v[r], x, False)
+        out[r] = np.asarray(y[out_key] if out_key else y[-1])
+
+        def loss(params, m=m, bs=v[r].get("batch_stats")):
+            varbs = {"params": params}
+            if bs is not None:
+                varbs["batch_stats"] = bs
+            o, _ = m.apply(varbs, x, True, mutable=["batch_stats"])
+            o = o[out_key] if out_key else o[-1]
+            return o.astype(jnp.float32).sum()
+
+        jaxpr = str(jax.make_jaxpr(loss)(v[r]["params"]))
+        assert ("remat" in jaxpr) == r, backbone
+
+    assert (jax.tree_util.tree_structure(v[False])
+            == jax.tree_util.tree_structure(v[True]))
+    np.testing.assert_array_equal(out[False], out[True])
+
+
 def test_remat_rejects_unknown_mode():
     from rnd_semantic_segmentation_tpu.train.steps import remat_wrap
     cfg = _cfg("sometimes")
