@@ -16,13 +16,24 @@ training speedup, the implied GPU range is ~11-44 img/s — 20 sits mid-range.
 Transient-failure hardening (round 4; BENCH_r03.json was rc=1 because the
 remote-TPU tunnel was down at capture time, and the failure mode is a HANG,
 not an exception): the parent process is stdlib-only and runs the actual
-benchmark in a child subprocess under a bounded timeout.  Failed or hung
-attempts are killed, a diagnostic JSON line is emitted to stderr per attempt,
-and the attempt is retried with backoff (default 3 attempts, 60 s apart).
-Only after every attempt fails does the parent print a loud error JSON line
-to stdout and exit 1 — rc=1 is never silent.  Knobs (env):
-SEGTPU_BENCH_ATTEMPTS / _TIMEOUT / _RETRY_TIMEOUT / _BACKOFF,
-SEGTPU_BENCH_TEST_CHILD (tests substitute a fake child command).
+benchmark in a child subprocess.  Failed or hung attempts are killed, a
+diagnostic JSON line is emitted to stderr per attempt, and the attempt is
+retried with backoff (default 3 attempts, 60 s apart).  Only after every
+attempt fails does the parent print a loud error JSON line to stdout and
+exit 1 — rc=1 is never silent.
+
+The kill policy is PHASE-AWARE, not pure wall-clock (a pure 900 s cap killed
+a healthy fully-cold session: with /tmp/jax_cache wiped, the single remote
+compile of the train step is legitimately SILENT for 15+ minutes):
+  * stall timeout (SEGTPU_BENCH_TIMEOUT, retry _RETRY_TIMEOUT) — kill when
+    the child produces NO new output for that long.  This catches the
+    round-3 hang (backend init blocks forever; breadcrumbs stop).
+  * during the compile phase — after the '[bench-child] compiling' breadcrumb
+    and until '[bench-child] timing' — silence is expected, so only the hard
+    cap applies (SEGTPU_BENCH_HARD_TIMEOUT, retry _RETRY_HARD_TIMEOUT).
+Knobs (env): SEGTPU_BENCH_ATTEMPTS / _TIMEOUT / _RETRY_TIMEOUT /
+_HARD_TIMEOUT / _RETRY_HARD_TIMEOUT / _BACKOFF, SEGTPU_BENCH_TEST_CHILD
+(tests substitute a fake child command).
 """
 
 import json
@@ -166,40 +177,98 @@ def _metric_line(stdout):
             return line
     return None
 
-def parent_main():
-    import subprocess
+# breadcrumbs (child stderr) that bound the compile phase, during which the
+# remote compile service is legitimately silent for many minutes cold
+_COMPILE_MARK = "[bench-child] compiling"
+_TIMING_MARK = "[bench-child] timing"
 
+
+def _run_attempt(cmd, stall_timeout, hard_timeout, poll_s=0.2):
+    """Run one child attempt under the phase-aware kill policy.
+
+    Returns (returncode_or_None_if_killed, stdout_text, stderr_text,
+    kill_reason_or_None).  Kills on: no new output for `stall_timeout`
+    seconds outside the compile phase, or `hard_timeout` seconds total.
+    """
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryFile() as out_f, tempfile.TemporaryFile() as err_f:
+        try:
+            p = subprocess.Popen(cmd, stdout=out_f, stderr=err_f)
+        except OSError as e:
+            return None, "", "", f"spawn failed: {e}"
+        t0 = last_progress = time.time()
+        sizes = (0, 0)
+        in_compile = False
+        kill_reason = None
+        while True:
+            rc = p.poll()
+            if rc is not None:
+                break
+            now = time.time()
+            cur = (os.fstat(out_f.fileno()).st_size,
+                   os.fstat(err_f.fileno()).st_size)
+            if cur != sizes:
+                sizes = cur
+                last_progress = now
+                err_f.seek(0)
+                err_text = err_f.read().decode("utf-8", "replace")
+                in_compile = (_COMPILE_MARK in err_text
+                              and _TIMING_MARK not in err_text)
+            if now - t0 > hard_timeout:
+                kill_reason = (f"timeout (killed child at the "
+                               f"{hard_timeout:.0f}s hard cap)")
+            elif not in_compile and now - last_progress > stall_timeout:
+                kill_reason = (f"timeout (killed hung child: no output for "
+                               f"{stall_timeout:.0f}s outside the compile "
+                               f"phase)")
+            if kill_reason:
+                p.kill()
+                p.wait()
+                break
+            time.sleep(poll_s)
+        out_f.seek(0)
+        err_f.seek(0)
+        return (None if kill_reason else rc,
+                out_f.read().decode("utf-8", "replace"),
+                err_f.read().decode("utf-8", "replace"),
+                kill_reason)
+
+
+def parent_main():
     attempts = int(os.environ.get("SEGTPU_BENCH_ATTEMPTS", "3"))
-    first_timeout = float(os.environ.get("SEGTPU_BENCH_TIMEOUT", "900"))
-    retry_timeout = float(os.environ.get("SEGTPU_BENCH_RETRY_TIMEOUT", "600"))
+    first_stall = float(os.environ.get("SEGTPU_BENCH_TIMEOUT", "900"))
+    retry_stall = float(os.environ.get("SEGTPU_BENCH_RETRY_TIMEOUT", "600"))
+    first_hard = float(os.environ.get("SEGTPU_BENCH_HARD_TIMEOUT", "2400"))
+    retry_hard = float(
+        os.environ.get("SEGTPU_BENCH_RETRY_HARD_TIMEOUT", "1800"))
     backoff = float(os.environ.get("SEGTPU_BENCH_BACKOFF", "60"))
     test_child = os.environ.get("SEGTPU_BENCH_TEST_CHILD")
     cmd = (test_child.split() if test_child
            else [sys.executable, os.path.abspath(__file__), "--child"])
 
     for i in range(attempts):
-        timeout = first_timeout if i == 0 else retry_timeout
+        stall = first_stall if i == 0 else retry_stall
+        hard = max(first_hard if i == 0 else retry_hard, stall)
         diag = {"diagnostic": "bench_attempt_failed",
                 "attempt": i + 1, "attempts": attempts,
-                "timeout_s": timeout}
+                "stall_timeout_s": stall, "hard_timeout_s": hard}
         t0 = time.time()
-        try:
-            p = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=timeout)
-        except subprocess.TimeoutExpired as e:
-            diag.update(error="timeout (killed hung child)",
-                        stderr_tail=_tail(e.stderr), stdout_tail=_tail(e.stdout))
-        except OSError as e:
-            diag.update(error=f"spawn failed: {e}")
-        else:
-            line = _metric_line(p.stdout)
-            if p.returncode == 0 and line:
+        rc, out, err, kill_reason = _run_attempt(cmd, stall, hard)
+        if rc == 0:
+            line = _metric_line(out)
+            if line:
                 print(line, flush=True)
                 return 0
-            diag.update(error=f"child rc={p.returncode}"
+        if kill_reason:
+            diag.update(error=kill_reason)
+        else:
+            line = _metric_line(out)
+            diag.update(error=f"child rc={rc}"
                               + ("" if line is None else " (metric line found"
-                                 " but rc nonzero)"),
-                        stderr_tail=_tail(p.stderr), stdout_tail=_tail(p.stdout))
+                                 " but rc nonzero)"))
+        diag.update(stderr_tail=_tail(err), stdout_tail=_tail(out))
         diag["elapsed_s"] = round(time.time() - t0, 1)
         print(json.dumps(diag), file=sys.stderr, flush=True)
         if i + 1 < attempts:

@@ -110,6 +110,47 @@ def test_hung_child_is_killed_and_retried(tmp_path):
     assert json.loads(r.stdout.strip())["value"] == 108.0
 
 
+def test_cold_compile_silence_survives_stall_timeout(tmp_path):
+    """A child that is SILENT during the compile phase for longer than the
+    stall timeout must NOT be killed (fully-cold /tmp/jax_cache: the remote
+    compile of the train step is legitimately silent for 15+ min; a pure
+    wall-clock 900 s cap killed a healthy cold run mid-round-4)."""
+    child = _fake_child(tmp_path, """
+        import json, sys, time
+        print('[bench-child] initializing backend', file=sys.stderr, flush=True)
+        print('[bench-child] compiling + warmup', file=sys.stderr, flush=True)
+        time.sleep(7)    # silent "remote compile", > stall timeout
+        print('[bench-child] timing', file=sys.stderr, flush=True)
+        print(json.dumps({"metric":
+            "train_images_per_sec_per_chip_deeplabv2_r101_512",
+            "value": 107.5, "unit": "images/sec/chip",
+            "vs_baseline": 5.4, "mfu": 0.58}))
+    """)
+    r = _run({"SEGTPU_BENCH_TEST_CHILD": child,
+              "SEGTPU_BENCH_ATTEMPTS": "1", "SEGTPU_BENCH_BACKOFF": "0",
+              "SEGTPU_BENCH_TIMEOUT": "4",        # stall cap < the silence
+              "SEGTPU_BENCH_HARD_TIMEOUT": "60"})
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert json.loads(r.stdout.strip())["value"] == 107.5
+
+
+def test_hard_cap_bounds_the_compile_phase(tmp_path):
+    """Even inside the compile phase the hard cap kills a stuck child."""
+    child = _fake_child(tmp_path, """
+        import sys, time
+        print('[bench-child] compiling + warmup', file=sys.stderr, flush=True)
+        time.sleep(600)   # tunnel wedged mid-compile
+    """)
+    r = _run({"SEGTPU_BENCH_TEST_CHILD": child,
+              "SEGTPU_BENCH_ATTEMPTS": "1", "SEGTPU_BENCH_BACKOFF": "0",
+              "SEGTPU_BENCH_TIMEOUT": "4", "SEGTPU_BENCH_HARD_TIMEOUT": "8"})
+    assert r.returncode == 1
+    diags = [json.loads(l) for l in r.stderr.strip().splitlines()
+             if l.startswith("{")]
+    assert len(diags) == 1 and "hard cap" in diags[0]["error"]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["value"] is None
+
+
 def test_stale_metric_line_with_bad_rc_not_trusted(tmp_path):
     """A child that prints a metric line but exits nonzero (e.g. died during
     MFU analysis) is treated as a failed attempt."""
