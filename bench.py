@@ -202,6 +202,18 @@ def _run_attempt(cmd, stall_timeout, hard_timeout, poll_s=0.2):
         sizes = (0, 0)
         in_compile = False
         kill_reason = None
+        # Incremental mark scan.  Two constraints (advisor, round 4):
+        #  * the child SHARES the stderr fd's offset (Popen dup2), so the
+        #    parent must read with os.pread — a seek(0)+read would move the
+        #    shared offset and make the child clobber earlier stderr;
+        #  * re-reading the whole file per size change is O(n^2) in stderr
+        #    volume — scan only newly appended bytes, latch per-mark
+        #    booleans, and stop scanning once the timing mark is seen.
+        scan_pos = 0
+        carry = b""  # tail bytes so a mark split across reads still matches
+        seen_compile = seen_timing = False
+        compile_b = _COMPILE_MARK.encode()
+        timing_b = _TIMING_MARK.encode()
         while True:
             rc = p.poll()
             if rc is not None:
@@ -212,10 +224,16 @@ def _run_attempt(cmd, stall_timeout, hard_timeout, poll_s=0.2):
             if cur != sizes:
                 sizes = cur
                 last_progress = now
-                err_f.seek(0)
-                err_text = err_f.read().decode("utf-8", "replace")
-                in_compile = (_COMPILE_MARK in err_text
-                              and _TIMING_MARK not in err_text)
+                if not seen_timing and cur[1] > scan_pos:
+                    new = os.pread(err_f.fileno(), cur[1] - scan_pos, scan_pos)
+                    scan_pos += len(new)
+                    buf = carry + new
+                    if not seen_compile and compile_b in buf:
+                        seen_compile = True
+                    if timing_b in buf:
+                        seen_timing = True
+                    carry = buf[-max(len(compile_b), len(timing_b)):]
+                in_compile = seen_compile and not seen_timing
             if now - t0 > hard_timeout:
                 kill_reason = (f"timeout (killed child at the "
                                f"{hard_timeout:.0f}s hard cap)")

@@ -119,6 +119,18 @@ _C.SOLVER.ASYNC_CHECKPOINT = False
 # (reference core/configs/defaults.py:74-77 documents the same global semantics).
 _C.SOLVER.BATCH_SIZE = 8
 _C.SOLVER.BATCH_SIZE_VAL = 1
+# TPU-recipe knobs (configs/*_tpu.yaml).  The chip plateaus of the reference
+# batch sizes differ per family (BENCH_BATCH_SCALE.json: attn climbs 2.29x
+# to b128, the others are flat) — recipes raise BATCH_SIZE and declare the
+# reference batch here so the LR follows the linear scaling rule
+# (lr *= BATCH_SIZE/LR_BATCH_REF) instead of silently training at the small-
+# batch LR.  0 disables (reference recipe fidelity).
+_C.SOLVER.LR_BATCH_REF = 0
+# iteration-granular linear warmup multiplier min(1, (it+1)/WARMUP_ITERS)
+# applied on top of whatever schedule the family dispatches — large-batch
+# recipes need the ramp (the per-epoch warmups in warmup_cosine are too
+# coarse when an epoch is a handful of steps).  0 disables.
+_C.SOLVER.WARMUP_ITERS = 0
 _C.SOLVER.GRAD_CLIP = 0.0                 # per-element clamp, 0 disables
                                           # (reference core/utils/utils.py:6-16)
 # FADA generator adversarial weight λ (reference hardcodes 0.001,

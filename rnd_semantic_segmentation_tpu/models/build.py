@@ -29,6 +29,46 @@ from .pranet import PraNet
 _DISC_FEATURES = {"resnet": 2048, "vgg": 1024, "efficientnet": 1408,
                   "hardnet": 1024, "res2net": 2048}
 
+# Exact-rewrite demonstrator knobs, each chip-measured UNPROFITABLE on TPU
+# v5e in round 4 (docs/ROOFLINE.md; PROBES_r04.json).  Kept as evidence /
+# for CPU experimentation — enabling one on TPU silently costs perf, so
+# build_segmentor warns loudly (VERDICT r4 weak-item 3).
+_DEAD_LEVER_VERDICTS = {
+    "S2D_MAX_CHANNELS": ("narrow-conv space-to-depth loses per-conv at "
+                         "pranet widths AND end-to-end on attn (140.6 vs "
+                         "147.7 img/s)"),
+    "SUBPIXEL_DECONV": ("XLA's lhs_dilation already skips the inserted "
+                        "zeros; sub-pixel rewrite measured 0.95-1.0x"),
+    "FUSED_MBCONV": ("Pallas fused MBConv measured 0.47-0.89x vs XLA at "
+                     "every geometry (Mosaic relayout cost dominates)"),
+}
+
+
+def _warn_dead_levers(cfg, _platforms: Optional[str] = None) -> None:
+    """Loud runtime warning when a measured-dead perf knob is enabled off-CPU.
+
+    The platform check reads the jax_platforms config string (never forces
+    backend init); conftest/CLIs set it to 'cpu' when off-chip, the axon
+    harness pins 'axon', and empty means auto-select (assume accelerator).
+    ``_platforms`` overrides the read for tests.
+    """
+    enabled = [(k, v) for k, v in _DEAD_LEVER_VERDICTS.items()
+               if getattr(cfg.MODEL, k, 0)]
+    if not enabled:
+        return
+    if _platforms is None:
+        import jax
+        _platforms = jax.config.jax_platforms or ""
+    platforms = _platforms.lower()
+    if "cpu" in platforms:
+        return  # demonstrator use off-TPU: no warning
+    import warnings
+    for knob, verdict in enabled:
+        warnings.warn(
+            f"MODEL.{knob} is enabled but was chip-measured UNPROFITABLE on "
+            f"TPU v5e: {verdict}. See docs/ROOFLINE.md; expect a slowdown, "
+            f"not a speedup.", RuntimeWarning, stacklevel=3)
+
 
 def split_model_name(name: str) -> Tuple[str, str]:
     family, _, backbone = name.partition("_")
@@ -98,6 +138,7 @@ def build_segmentor(cfg, bn_axis_name: Optional[str] = None) -> SegmentorSpec:
     set_subpixel_policy(getattr(cfg.MODEL, "SUBPIXEL_DECONV", False))
     from ..ops.mbconv import set_mbconv_fusion_policy
     set_mbconv_fusion_policy(getattr(cfg.MODEL, "FUSED_MBCONV", False))
+    _warn_dead_levers(cfg)
     if family == "deeplab":
         return SegmentorSpec(
             family=family, backbone=backbone,

@@ -86,17 +86,33 @@ def make_lr_schedule(spec, cfg, steps_per_epoch: int) -> Callable:
     fam = spec.family
     base = cfg.SOLVER.BASE_LR
     method = cfg.SOLVER.LR_METHOD
+    # TPU-recipe wrappers (SOLVER.LR_BATCH_REF / WARMUP_ITERS, off by
+    # default): linear LR scaling for batch sizes above the reference
+    # recipe, and an iteration-granular warmup ramp on top of whatever the
+    # family dispatches.  Scale the BASE before building the schedule so
+    # per-epoch warmup/cosine targets scale too.
+    ref_batch = int(getattr(cfg.SOLVER, "LR_BATCH_REF", 0) or 0)
+    if ref_batch > 0:
+        base = base * cfg.SOLVER.BATCH_SIZE / ref_batch
     if fam == "pranet":
-        return lambda it, ep0: gradual_warmup_cosine_lr(base, ep0)
-    if fam in ("attn", "attnwrap"):
-        return lambda it, ep0: warmup_cosine_lr(base, ep0)
-    if method == "poly":
+        sched = lambda it, ep0: gradual_warmup_cosine_lr(base, ep0)
+    elif fam in ("attn", "attnwrap"):
+        sched = lambda it, ep0: warmup_cosine_lr(base, ep0)
+    elif method == "poly":
         max_iter = cfg.SOLVER.EPOCHS * steps_per_epoch
-        return lambda it, ep0: poly_lr(base, it, max_iter, cfg.SOLVER.LR_POWER)
-    if method == "step":
-        return lambda it, ep0: step_decay_lr(base, ep0, cfg.SOLVER.DECAY_RATE,
-                                             cfg.SOLVER.DECAY_EPOCH)
-    raise NotImplementedError(method)
+        sched = lambda it, ep0: poly_lr(base, it, max_iter,
+                                        cfg.SOLVER.LR_POWER)
+    elif method == "step":
+        sched = lambda it, ep0: step_decay_lr(base, ep0,
+                                              cfg.SOLVER.DECAY_RATE,
+                                              cfg.SOLVER.DECAY_EPOCH)
+    else:
+        raise NotImplementedError(method)
+    warmup_iters = int(getattr(cfg.SOLVER, "WARMUP_ITERS", 0) or 0)
+    if warmup_iters <= 0:
+        return sched
+    return lambda it, ep0: sched(it, ep0) * jnp.minimum(
+        1.0, (it + 1.0) / warmup_iters)
 
 
 def make_optimizers(spec, cfg) -> Dict[str, Any]:

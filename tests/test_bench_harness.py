@@ -119,7 +119,7 @@ def test_cold_compile_silence_survives_stall_timeout(tmp_path):
         import json, sys, time
         print('[bench-child] initializing backend', file=sys.stderr, flush=True)
         print('[bench-child] compiling + warmup', file=sys.stderr, flush=True)
-        time.sleep(7)    # silent "remote compile", > stall timeout
+        time.sleep(15)   # silent "remote compile", > stall timeout
         print('[bench-child] timing', file=sys.stderr, flush=True)
         print(json.dumps({"metric":
             "train_images_per_sec_per_chip_deeplabv2_r101_512",
@@ -128,7 +128,9 @@ def test_cold_compile_silence_survives_stall_timeout(tmp_path):
     """)
     r = _run({"SEGTPU_BENCH_TEST_CHILD": child,
               "SEGTPU_BENCH_ATTEMPTS": "1", "SEGTPU_BENCH_BACKOFF": "0",
-              "SEGTPU_BENCH_TIMEOUT": "4",        # stall cap < the silence
+              # stall cap < the silence, with real headroom for interpreter
+              # startup on this 1-core host (advisor round 4: 4 s was flaky)
+              "SEGTPU_BENCH_TIMEOUT": "10",
               "SEGTPU_BENCH_HARD_TIMEOUT": "60"})
     assert r.returncode == 0, (r.stdout, r.stderr)
     assert json.loads(r.stdout.strip())["value"] == 107.5
