@@ -30,6 +30,17 @@ CASES = [
     ("attn_efficientnet-b2", 2, 512, 16),
 ]
 
+# the other two training regimes (VERDICT r4 item 2: source-train was the
+# only chip-timed regime).  FADA consumes a source AND a target batch per
+# step — rows use the same per-stream batch as CASES so img/s is comparable.
+REGIME_CASES = [
+    # (regime, name, nc, size, batch)
+    ("fada", "deeplab_resnet101", 19, 512, 16),
+    ("fada", "gald_hardnet68", 19, 512, 16),
+    ("distill", "deeplab_resnet101", 19, 512, 16),
+    ("distill", "gald_hardnet68", 19, 512, 16),
+]
+
 
 S2D_MAX_CHANNELS = 0  # --s2d flag: A/B the narrow-conv s2d policy (ops/s2d.py)
 SUBPIXEL_DECONV = False  # --subpixel: A/B the deconv phase decomposition
@@ -58,6 +69,108 @@ def bench(name, nc, size, batch, iters=8, warmup=2):
     variables = seg.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.bfloat16))
     state = seg.make_states(variables, make_optimizers(spec, cfg))
     step = make_src_train_step(seg, cfg, steps_per_epoch=1000)
+    for _ in range(warmup):
+        state, m = step(state, batch_d, jnp.float32(0))
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch_d, jnp.float32(0))
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    from bench import step_mfu
+    mfu = step_mfu(step, (state, batch_d, jnp.float32(0)), dt / iters)
+    return batch * iters / dt, mfu
+
+
+def bench_fada(name, nc, size, batch, iters=8, warmup=2):
+    """Chip-time the 3-phase FADA adversarial step (train/fada.py) — the
+    reference's core contribution (aspp_fada.py:91-136) runs as ONE XLA
+    graph here; this measures whether the G/D alternation leaves a pipeline
+    bubble (VERDICT r4 item 2).  images/sec counts SOURCE images (the
+    step also consumes a target batch of the same size)."""
+    import jax as _jax
+
+    from rnd_semantic_segmentation_tpu.models import (
+        build_adversarial_discriminator)
+    from rnd_semantic_segmentation_tpu.train.fada import (
+        FadaState, init_disc_state, make_fada_train_step)
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = name
+    cfg.MODEL.NUM_CLASSES = nc
+    cfg.MODEL.FREEZE_BN = True
+    cfg.SOLVER.BASE_LR = 1e-4
+    cfg.SOLVER.BASE_LR_D = 1e-4
+    cfg.SOLVER.EPOCHS = 1
+    spec = build_segmentor(cfg)
+    seg = Segmentor(spec, nc)
+    rng = np.random.RandomState(0)
+
+    def mkbatch(seed):
+        r = np.random.RandomState(seed)
+        x = jnp.asarray(r.rand(batch, size, size, 3).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        y = jnp.asarray(r.randint(0, nc, size=(batch, size, size))
+                        .astype(np.int32))
+        return {"image": x, "label": y}
+
+    src, tgt = mkbatch(0), mkbatch(1)
+    variables = seg.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, size, size, 3), jnp.bfloat16))
+    seg_state = seg.make_states(variables, make_optimizers(spec, cfg))
+    params = {n: m.params for n, m in seg_state.modules.items()}
+    stats = {n: m.stats for n, m in seg_state.modules.items()}
+    tap = _jax.eval_shape(
+        lambda p, x: seg.forward(p, stats, x, train=False)[2],
+        params, jnp.zeros((1, size, size, 3), jnp.bfloat16))
+    disc = build_adversarial_discriminator(cfg)
+    disc_state = init_disc_state(disc, jax.random.PRNGKey(2),
+                                 jnp.zeros(tap.shape, jnp.float32), cfg)
+    state = FadaState(seg=seg_state, disc=disc_state)
+    step = make_fada_train_step(seg, disc, cfg, steps_per_epoch=1000)
+    for _ in range(warmup):
+        state, m = step(state, src, tgt, jnp.float32(0))
+    float(m["loss_seg"] if "loss_seg" in m else list(m.values())[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, src, tgt, jnp.float32(0))
+    float(list(m.values())[0])
+    dt = time.perf_counter() - t0
+    from bench import step_mfu
+    mfu = step_mfu(step, (state, src, tgt, jnp.float32(0)), dt / iters)
+    return batch * iters / dt, mfu
+
+
+def bench_distill(name, nc, size, batch, iters=8, warmup=2):
+    """Chip-time the online self-distillation step (train/distill.py):
+    teacher forward in-graph + student fwd/bwd, one XLA graph (the
+    reference's train_distill.py ran the teacher eagerly per batch)."""
+    from rnd_semantic_segmentation_tpu.train.distill import (
+        make_online_distill_step)
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = name
+    cfg.MODEL.NUM_CLASSES = nc
+    cfg.MODEL.FREEZE_BN = True
+    cfg.SOLVER.BASE_LR = 1e-4
+    cfg.SOLVER.EPOCHS = 1
+    spec = build_segmentor(cfg)
+    seg = Segmentor(spec, nc)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    y = jnp.asarray(rng.randint(0, nc, size=(batch, size, size))
+                    .astype(np.int32))
+    batch_d = {"image": x, "label": y}
+    variables = seg.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, size, size, 3), jnp.bfloat16))
+    state = seg.make_states(variables, make_optimizers(spec, cfg))
+    t_params = {n: m.params for n, m in state.modules.items()}
+    t_stats = {n: m.stats for n, m in state.modules.items()}
+    step = make_online_distill_step(seg, cfg, steps_per_epoch=1000,
+                                    teacher_params=t_params,
+                                    teacher_stats=t_stats,
+                                    confidence_threshold=0.9)
     for _ in range(warmup):
         state, m = step(state, batch_d, jnp.float32(0))
     float(m["loss"])
@@ -155,6 +268,12 @@ def main():
                     help="rematerialization for this run (none|full|dots|blocks): "
                          "rematerialize activations to fit batches past "
                          "the HBM ceiling")
+    ap.add_argument("--regime", default=None, choices=["src", "fada",
+                                                       "distill"],
+                    help="bench one training regime only (src = the "
+                         "historical per-family rows; fada/distill = the "
+                         "REGIME_CASES rows); default runs everything and "
+                         "rewrites BENCH_FAMILIES.json")
     ap.add_argument("--batch", type=int, default=None,
                     help="override the per-case batch size (batch-scaling "
                          "probe; floor/bandwidth-bound families amortize "
@@ -179,16 +298,34 @@ def main():
              if args.family is None or args.family in c[0]]
     if args.batch:
         cases = [(n, nc, sz, args.batch) for n, nc, sz, _ in cases]
-    for name, nc, size, batch in cases:
+    if args.regime in (None, "src"):
+        for name, nc, size, batch in cases:
+            try:
+                ips, mfu = bench(name, nc, size, batch)
+                emit({"model": name, "size": size, "batch": batch,
+                      "train_images_per_sec": round(ips, 2),
+                      "mfu": round(mfu, 4)})
+            except Exception as e:  # keep going; per-family OOM etc.
+                emit({"model": name,
+                      "error": f"{type(e).__name__}: {e}"[:200]})
+    for regime, name, nc, size, batch in REGIME_CASES:
+        if args.regime is not None and args.regime != regime:
+            continue
+        if args.family is not None and args.family not in name:
+            continue
+        if args.regime is None and args.family is not None:
+            continue  # --family alone keeps the historical src-only behavior
         try:
-            ips, mfu = bench(name, nc, size, batch)
-            emit({"model": name, "size": size, "batch": batch,
-                  "train_images_per_sec": round(ips, 2),
+            fn = bench_fada if regime == "fada" else bench_distill
+            ips, mfu = fn(name, nc, size, batch)
+            emit({"model": name, "regime": regime, "size": size,
+                  "batch": batch, "train_images_per_sec": round(ips, 2),
                   "mfu": round(mfu, 4)})
-        except Exception as e:  # keep going; per-family OOM etc.
-            emit({"model": name, "error": f"{type(e).__name__}: {e}"[:200]})
-    if args.family is not None:
-        return  # single-family probe: keep the full artifact untouched
+        except Exception as e:
+            emit({"model": name, "regime": regime,
+                  "error": f"{type(e).__name__}: {e}"[:200]})
+    if args.family is not None or args.regime is not None:
+        return  # probe invocation: keep the full artifact untouched
     try:
         ips = bench_eval("deeplab_resnet101", 19, 512, 16)
         emit({"model": "deeplab_resnet101", "mode": "eval",

@@ -121,6 +121,121 @@ CASES = [
 ]
 
 
+def bench_latency(max_batches=(16, 64, 128), lone_reqs=24, load_reqs=96,
+                  load_concurrency=8, size=512):
+    """p50/p95 request latency vs ``--max-batch`` through the REAL daemon
+    (serve/server.py over HTTP) — the latency price of the throughput
+    recommendation in docs/SERVING.md (VERDICT r4 item 3).
+
+    The padded-batch design means every dispatch runs the full max_batch
+    shape, so a lone request pays the whole big-batch step: that price is
+    measured at concurrency 1 ("lone" rows).  The "load" rows add a small
+    closed-loop client pool; NOTE on 1-core hosts the per-request host
+    preprocessing (decode+resize+normalize in handler threads) binds
+    observed throughput long before the chip does — the latency columns are
+    the meaningful product here, the load throughput column is host-bound.
+    """
+    import io
+    import tempfile
+    import threading
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from rnd_semantic_segmentation_tpu.ckpt.orbax_io import save_checkpoint
+    from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+    from rnd_semantic_segmentation_tpu.models import build_segmentor
+    from rnd_semantic_segmentation_tpu.serve.server import (
+        InferenceServer, ThreadingHTTPServer, _make_handler)
+    from rnd_semantic_segmentation_tpu.train import (
+        Segmentor, make_optimizers)
+    from rnd_semantic_segmentation_tpu.utils import setup_logger
+
+    tmp = tempfile.mkdtemp()
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "attn_efficientnet-b2"
+    cfg.MODEL.NUM_CLASSES = 2
+    cfg.MODEL.FREEZE_BN = True
+    cfg.AUG.NAME = "attn"
+    cfg.INPUT.INPUT_SIZE_TEST = (size, size)
+    cfg.OUTPUT_DIR = tmp
+    # random-init weights: latency does not depend on the values
+    spec = build_segmentor(cfg)
+    seg = Segmentor(spec, cfg.MODEL.NUM_CLASSES)
+    import jax as _jax
+    variables = seg.init(_jax.random.PRNGKey(0),
+                         jnp.zeros((1, size, size, 3), jnp.float32))
+    state = seg.make_states(variables, make_optimizers(spec, cfg))
+    cfg.resume = save_checkpoint(f"{tmp}/{spec.ckpt_prefix}-1", state, 1)
+
+    # one canned JPEG reused by every request (client-side encode is free)
+    rng = np.random.RandomState(0)
+    buf = io.BytesIO()
+    Image.fromarray((rng.rand(size, size, 3) * 255).astype(np.uint8)
+                    ).save(buf, format="JPEG", quality=90)
+    payload = buf.getvalue()
+    logger = setup_logger("bench_latency", tmp, 0)
+
+    def one_request(port, timings=None):
+        import http.client
+        t0 = time.perf_counter()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/predict?format=raw", body=payload,
+                     headers={"Content-Type": "application/octet-stream"})
+        resp = conn.getresponse()
+        resp.read()
+        conn.close()
+        assert resp.status == 200, resp.status
+        if timings is not None:
+            timings.append(time.perf_counter() - t0)
+
+    rows = []
+    for mb in max_batches:
+        inf = InferenceServer(cfg, {}, logger, max_batch=mb,
+                              batch_timeout_ms=5.0)
+        assert inf.ready.wait(3600), "warmup timed out"
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(inf))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            one_request(port)  # prime the HTTP path
+            lone = []
+            for _ in range(lone_reqs):
+                one_request(port, lone)
+            load = []
+            per_client = load_reqs // load_concurrency
+            threads = [threading.Thread(
+                target=lambda: [one_request(port, load)
+                                for _ in range(per_client)])
+                for _ in range(load_concurrency)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            load_dt = time.perf_counter() - t0
+            stats = inf.snapshot_stats()
+            row = {"bench": "daemon_latency",
+                   "model": cfg.MODEL.NAME, "size": size, "max_batch": mb,
+                   "lone_p50_ms": round(float(np.percentile(lone, 50)) * 1e3, 1),
+                   "lone_p95_ms": round(float(np.percentile(lone, 95)) * 1e3, 1),
+                   "load_concurrency": load_concurrency,
+                   "load_p50_ms": round(float(np.percentile(load, 50)) * 1e3, 1),
+                   "load_p95_ms": round(float(np.percentile(load, 95)) * 1e3, 1),
+                   "load_images_per_sec_host_bound": round(len(load) / load_dt, 1),
+                   "mean_batch_occupancy": round(
+                       stats["batched_images"] / max(stats["batches"], 1), 2)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        finally:
+            httpd.shutdown()
+            inf.shutdown()
+    out = os.path.join(REPO, "BENCH_SERVING_LATENCY.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default=None,
@@ -132,7 +247,14 @@ def main():
                     help="override the per-case batch size (throughput-"
                          "optimal-batch probe; eval batch is semantically "
                          "free, unlike train)")
+    ap.add_argument("--latency", action="store_true",
+                    help="daemon latency curve: p50/p95 request latency vs "
+                         "max_batch through the real HTTP server; writes "
+                         "BENCH_SERVING_LATENCY.json and exits")
     args = ap.parse_args()
+    if args.latency:
+        bench_latency()
+        return
     if args.batch and args.model is None:
         ap.error("--batch is a probe flag: combine with --model so the "
                  "committed BENCH_SERVING.json stays default-config")

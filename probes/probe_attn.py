@@ -100,6 +100,61 @@ conv_chain(B, 128 // S, 128 // S, 48, 48, 3)
 # --- controls ---
 conv_chain(B, 64 // S, 64 // S, 512, 512, 3)     # deeplab-body ceiling
 
+
+# --- BACKWARD: dw-bwd chain vs its HBM roofline (VERDICT r4 item 4) -------
+# The round-4 roofline closed the attn TRAIN story by argument ("the encoder
+# backward is bounded by dw VPU compute like the forward"); this section
+# measures it.  One bwd application = fwd recompute + dgrad + wgrad of the
+# whole chain (grads taken w.r.t. x AND the kernels; the wgrad sum is folded
+# into the carry at 1e-20 scale so XLA cannot DCE it).  Byte model per conv:
+# fwd read x + write y (2 tensors), dgrad read dy (+w) write dx (2), wgrad
+# read x + dy (2) -> ~6 activation tensors of bf16 traffic; FLOPs = 3x fwd.
+def bwd_chain(b, h, w, ci, co, k, groups=1):
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, ci), jnp.bfloat16)
+    if groups > 1:
+        assert ci == co
+        ks = [jax.random.normal(jax.random.PRNGKey(i + 1), (k, k, 1, co),
+                                jnp.bfloat16) * 0.05 for i in range(CHAIN)]
+    else:
+        ks = [jax.random.normal(jax.random.PRNGKey(i + 1),
+                                (k, k, ci, co) if i % 2 == 0
+                                else (k, k, co, ci),
+                                jnp.bfloat16) * 0.05 for i in range(CHAIN)]
+
+    def loss(xx, kks):
+        y = xx
+        for kk in kks:
+            y = lax.conv_general_dilated(
+                y, kk, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups)
+        return jnp.sum(y.astype(jnp.float32))
+
+    def body(xc):
+        dx, dks = jax.grad(loss, argnums=(0, 1))(xc, ks)
+        wsum = sum(jnp.sum(g.astype(jnp.float32)) for g in dks)
+        return dx + (wsum * 1e-20).astype(dx.dtype)
+
+    dt = time_loop(body, x, iters=ITERS) / CHAIN
+    fl = 3 * 2 * b * h * w * k * k * (co if groups > 1 else ci * co)
+    by = 6 * b * h * w * max(ci, co) * 2
+    print(json.dumps({"case": f"BWD conv {k}x{k} g{groups} "
+                              f"[{b},{h},{w},{ci}]<->{co}",
+                      "us_per_conv_bwd": round(dt * 1e6, 1),
+                      "tflops": round(fl / dt / 1e12, 2),
+                      "gbps_bytemodel": round(by / dt / 1e9, 1)}),
+          flush=True)
+
+
+# the dominant encoder dw stages at 256²/128² + the expand 1x1, and the
+# square-1x1/wide-3x3 controls whose fwd rooflines are known (831 GB/s HBM,
+# ~105 TFLOPS MXU)
+bwd_chain(B, 256 // S, 256 // S, 96, 96, 3, groups=96)
+bwd_chain(B, 128 // S, 128 // S, 144, 144, 3, groups=144)
+bwd_chain(B, 256 // S, 256 // S, 16, 96, 1)
+bwd_chain(B, 256 // S, 256 // S, 128, 128, 1)    # control: square 1x1
+bwd_chain(B, 64 // S, 64 // S, 512, 512, 3)      # control: MXU ceiling
+
 # --- whole-model attribution: encoder fwd vs full fwd vs train step ---
 from rnd_semantic_segmentation_tpu.models.attn_unet import (
     AttnEfficientNetUnet)

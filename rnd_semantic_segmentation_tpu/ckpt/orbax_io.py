@@ -38,11 +38,47 @@ _CKPTR: Optional[ocp.StandardCheckpointer] = None
 
 def _checkpointer() -> ocp.StandardCheckpointer:
     """One shared (async-capable) checkpointer so in-flight saves can be
-    awaited from anywhere (`wait_for_checkpoints`)."""
+    awaited from anywhere (`wait_for_checkpoints`).
+
+    Under jax.distributed (process_count > 1) Orbax's default save is a
+    COLLECTIVE: it barriers across all processes, so the Trainer's
+    rank-0-only save deadlocks — rank 0 waits on a sync the other ranks
+    never join (found by the 2-process preemption drill,
+    tests/test_multiprocess.py::test_two_process_preemption_resume; the
+    single-process drill could not see it).  The trees we save are already
+    host-fetched numpy (``jax.device_get`` in save_checkpoint), so the save
+    needs no cross-process data — restrict the barrier set to rank 0.
+    """
     global _CKPTR
     if _CKPTR is None:
-        _CKPTR = ocp.StandardCheckpointer()
+        if jax.process_count() > 1:
+            _CKPTR = ocp.StandardCheckpointer(
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    primary_host=0, active_processes={0},
+                    barrier_sync_key_prefix="segtpu_rank0_ckpt"))
+        else:
+            _CKPTR = ocp.StandardCheckpointer()
     return _CKPTR
+
+
+_RESTORER: Optional[ocp.StandardCheckpointer] = None
+
+
+def _restore_checkpointer() -> ocp.StandardCheckpointer:
+    """Restores run on EVERY rank (each process rebuilds the replicated
+    state), so they must not go through the rank-0-restricted save
+    instance; reads of numpy trees are local and barrier-free."""
+    if jax.process_count() <= 1:
+        return _checkpointer()
+    global _RESTORER
+    if _RESTORER is None:
+        _RESTORER = ocp.StandardCheckpointer(
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=jax.process_index(),
+                active_processes={jax.process_index()},
+                barrier_sync_key_prefix=(
+                    f"segtpu_restore_p{jax.process_index()}")))
+    return _RESTORER
 
 
 def save_checkpoint(path: str, state: TrainState, epoch: int,
@@ -70,7 +106,7 @@ def load_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int]:
     """Restore into the structure of `state`; returns (state, start_epoch)."""
     wait_for_checkpoints()  # a just-written async ckpt must be finalized
     path = os.path.abspath(path)
-    ckptr = _checkpointer()
+    ckptr = _restore_checkpointer()
     template = _to_pytree(state, 0)
     restored = ckptr.restore(path, template)
     modules = {
@@ -99,7 +135,7 @@ def load_checkpoint_variables(path: str,
     ``load_checkpoint``, which returns the resume START epoch (saved+1).
     Callers resuming training from this path must add 1 themselves."""
     wait_for_checkpoints()
-    restored = _checkpointer().restore(os.path.abspath(path))
+    restored = _restore_checkpointer().restore(os.path.abspath(path))
     out = {}
     for name, m in restored["modules"].items():
         if module_names is not None and name not in module_names:

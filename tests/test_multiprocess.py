@@ -7,6 +7,7 @@ asserts global device enumeration and a cross-process psum.
 """
 
 import os
+import signal
 import socket
 import subprocess
 import sys
@@ -326,3 +327,188 @@ def test_two_process_sharded_training(tmp_path):
         line = [l for l in out.splitlines() if "TRAIN OK" in l][0]
         sums.append(line.split("psum=")[1])
     assert sums[0] == sums[1], sums  # identical replicated params
+
+
+_PREEMPT_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=2")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    port, pid, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=2, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rnd_semantic_segmentation_tpu.configs import get_default_cfg
+    from rnd_semantic_segmentation_tpu.data import DataLoader, SyntheticDataset
+    from rnd_semantic_segmentation_tpu.models import build_segmentor
+    from rnd_semantic_segmentation_tpu.parallel import make_mesh, shard_batch
+    from rnd_semantic_segmentation_tpu.parallel.mesh import process_is_primary
+    from rnd_semantic_segmentation_tpu.ckpt.orbax_io import (
+        checkpoint_name, latest_checkpoint, load_checkpoint, save_checkpoint)
+    from rnd_semantic_segmentation_tpu.train import (
+        Segmentor, make_optimizers, make_src_train_step)
+
+    EPOCHS = 3
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "deeplab_resnet18"
+    cfg.MODEL.DTYPE = "float32"
+    cfg.MODEL.NUM_CLASSES = 2
+    cfg.MODEL.FREEZE_BN = True
+    cfg.SOLVER.BASE_LR = 1e-3
+
+    mesh = make_mesh(cfg)  # 4 global devices (2 per process)
+    ds = SyntheticDataset(size=(32, 32), length=16, num_classes=2)
+    # local batch 4 -> global batch 8, 2 steps/epoch; shuffle is f(seed,epoch)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=11,
+                        process_shard=True)
+    spec = build_segmentor(cfg)
+    seg = Segmentor(spec, 2)
+    variables = seg.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    state = seg.make_states(variables, make_optimizers(spec, cfg))
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    start_epoch = 1
+    found = latest_checkpoint(out_dir, spec.ckpt_prefix)
+    if found:
+        # BOTH processes restore from the rank-0-written checkpoint
+        state, start_epoch = load_checkpoint(found, state)
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        print(f"proc{pid} RESUMED from {found}", flush=True)
+    step = make_src_train_step(seg, cfg, steps_per_epoch=2,
+                               base_rng=jax.random.PRNGKey(cfg.SEED + 1))
+
+    hang_epoch = int(os.environ.get("PREEMPT_HANG_EPOCH", "0"))
+    for epoch in range(start_epoch, EPOCHS + 1):
+        loader.set_epoch(epoch)
+        for bi, batch in enumerate(loader):
+            gb = shard_batch({"image": batch["image"],
+                              "label": batch["label"]}, mesh)
+            state, m = step(state, gb, jnp.float32(epoch - 1))
+            assert np.isfinite(float(m["loss"]))
+            if pid == 1 and epoch == hang_epoch and bi == 0:
+                # simulate a wedged host mid-epoch: the test SIGKILLs us at
+                # this sentinel; rank 0 then blocks in the next collective
+                open(os.path.join(out_dir, "HANGING"), "w").write("x")
+                import time as _t
+                while True:
+                    _t.sleep(1)
+        if process_is_primary():
+            save_checkpoint(checkpoint_name(out_dir, spec.ckpt_prefix, epoch),
+                            state, epoch, wait=True)
+    allsum = sum(float(np.abs(np.asarray(jax.device_get(l))).sum())
+                 for l in jax.tree.leaves(
+                     {n: m.params for n, m in state.modules.items()}))
+    assert allsum > 0.0
+    print(f"proc{pid} PREEMPT OK sum={allsum:.9f}", flush=True)
+""")
+
+
+def _communicate_all(procs, timeout=1200):
+    """communicate() both workers, KILLING them on timeout — an expired
+    subprocess timeout leaves children running otherwise, and two orphaned
+    jax processes starve this 1-core host for every later test."""
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=timeout)[0])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    return outs
+
+
+def _spawn_preempt(tmp_path, out_dir, env_extra=None):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = tmp_path / "preempt_worker.py"
+    worker.write_text(_PREEMPT_WORKER)
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.update(env_extra or {})
+    return [subprocess.Popen(
+        [sys.executable, str(worker), str(port), str(i), str(out_dir)],
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+
+
+@pytest.mark.slow
+def test_two_process_preemption_resume(tmp_path):
+    """VERDICT r4 item 6: SIGKILL ONE process of a 2-process jax.distributed
+    run mid-epoch, restart BOTH, and assert the resumed run's final state is
+    bit-identical to an uninterrupted 2-process run — exercising the
+    rank-0-only checkpoint + fresh-rendezvous interaction the single-process
+    drill (test_preemption.py) cannot reach."""
+    import time as _time
+
+    import numpy as np
+
+    # --- run A: uninterrupted --------------------------------------------
+    out_a = tmp_path / "uninterrupted"
+    out_a.mkdir()
+    procs = _spawn_preempt(tmp_path, out_a)
+    outs = _communicate_all(procs)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i}:\\n{out[-3000:]}"
+    sums_a = sorted(out.split("sum=")[1].split()[0]
+                    for out in outs if "PREEMPT OK" in out)
+
+    # --- run B: rank 1 dies mid-epoch-2 ----------------------------------
+    out_b = tmp_path / "preempted"
+    out_b.mkdir()
+    procs = _spawn_preempt(tmp_path, out_b,
+                           env_extra={"PREEMPT_HANG_EPOCH": "2"})
+    sentinel = out_b / "HANGING"
+    deadline = _time.time() + 600
+    while not sentinel.exists():
+        assert procs[1].poll() is None, "rank 1 died before the hang point"
+        assert _time.time() < deadline, "hang sentinel never appeared"
+        _time.sleep(0.5)
+    os.kill(procs[1].pid, signal.SIGKILL)  # hard preemption of rank 1
+    procs[1].wait(timeout=60)
+    # rank 0 is now blocked in (or erroring out of) a cross-process
+    # collective; give it a moment, then take the whole job down as a
+    # cluster manager would
+    _time.sleep(3.0)
+    if procs[0].poll() is None:
+        os.kill(procs[0].pid, signal.SIGKILL)
+    procs[0].wait(timeout=60)
+    # the epoch-2 checkpoint must NOT exist (the kill landed mid-epoch,
+    # before rank 0 reached the save)
+    assert (out_b / "Aspp-1").is_dir()
+    assert not (out_b / "Aspp-2").exists(), "kill landed too late"
+
+    # --- restart BOTH with a fresh rendezvous; resume from latest ---------
+    procs = _spawn_preempt(tmp_path, out_b)
+    outs = _communicate_all(procs)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i}:\\n{out[-3000:]}"
+        assert "RESUMED" in out
+    sums_b = sorted(out.split("sum=")[1].split()[0]
+                    for out in outs if "PREEMPT OK" in out)
+    assert sums_a == sums_b, (sums_a, sums_b)
+
+    # the strong check: EVERY leaf of the final checkpoint (params, BN
+    # stats, optimizer state, step counter) is bit-identical between the
+    # uninterrupted and the preempted+resumed run
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        tree_a = ckptr.restore(str((out_a / "Aspp-3").resolve()))
+        tree_b = ckptr.restore(str((out_b / "Aspp-3").resolve()))
+    import jax as _jax
+    flat_a = _jax.tree_util.tree_flatten_with_path(tree_a)[0]
+    flat_b = dict(_jax.tree_util.tree_flatten_with_path(tree_b)[0])
+    assert len(flat_a) == len(flat_b) > 10
+    for k, v in flat_a:
+        if not hasattr(v, "shape"):
+            assert v == flat_b[k], k
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flat_b[k]),
+            err_msg=f"leaf {_jax.tree_util.keystr(k)} differs after "
+                    f"2-process preemption+resume")

@@ -8,6 +8,7 @@ stats surface.  Runs the tiny synthetic-trained deeplab on CPU.
 import http.client
 import io
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -22,12 +23,18 @@ from rnd_semantic_segmentation_tpu.utils import setup_logger
 
 
 @pytest.fixture(scope="module")
-def server(tmp_path_factory):
+def trained_cfg(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("server")
     cfg = _cfg(tmp)
     Trainer("serve_test", cfg, _loader(cfg), 0).train()
     cfg.resume = "latest"
-    logger = setup_logger("serve_test", str(tmp), 0)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def server(trained_cfg):
+    cfg = trained_cfg
+    logger = setup_logger("serve_test", cfg.OUTPUT_DIR, 0)
     render = {"palette": list(np.arange(9) * 20)}
     inf = InferenceServer(cfg, render, logger, max_batch=4,
                           batch_timeout_ms=30.0)
@@ -121,6 +128,56 @@ def test_concurrent_requests_batched(server):
     assert stats["requests"] >= before["requests"] + 6
     assert stats["batches"] >= 1
     assert stats["mean_batch_occupancy"] >= 1.0
+
+
+def test_batching_deadline_semantics(trained_cfg):
+    """The dispatcher's deadline contract (VERDICT r4 item 3): after the
+    first request arrives, the batch waits at most ``batch_timeout`` for
+    companions; a FULL batch dispatches immediately without waiting out the
+    deadline.  Driven with a deliberately huge 2 s deadline so both sides
+    are unambiguous on a loaded 1-core host."""
+    cfg = trained_cfg
+    logger = setup_logger("serve_deadline", cfg.OUTPUT_DIR, 0)
+    inf = InferenceServer(cfg, {}, logger, max_batch=2,
+                          batch_timeout_ms=2000.0)
+    assert inf.ready.wait(300), "server warmup timed out"
+    try:
+        payload = _jpeg_bytes()
+        inf.predict(payload)  # warm the preprocess/jit path end-to-end
+
+        # lone request: nothing joins the batch, so it pays the full
+        # deadline before dispatch (the latency price of micro-batching)
+        t0 = time.monotonic()
+        inf.predict(payload)
+        lone = time.monotonic() - t0
+        assert lone >= 1.6, f"lone request dispatched early: {lone:.2f}s"
+
+        # full batch: two concurrent requests fill max_batch and must
+        # dispatch well before the 2 s deadline
+        before = inf.snapshot_stats()
+        results, errors = [], []
+
+        def worker():
+            try:
+                results.append(inf.predict(payload))
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker) for _ in range(2)]
+        t0 = time.monotonic()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        pair = time.monotonic() - t0
+        assert not errors and len(results) == 2
+        assert pair < 1.5, (f"full batch waited out the deadline: "
+                            f"{pair:.2f}s")
+        after = inf.snapshot_stats()
+        assert after["batches"] == before["batches"] + 1
+        assert after["batched_images"] == before["batched_images"] + 2
+    finally:
+        inf.shutdown()
 
 
 def test_bad_input_is_a_clean_400(server):
