@@ -28,11 +28,17 @@ from probes._bench import time_loop  # noqa: E402
 ITERS = 2 if TINY else 25
 CHAIN = 2 if TINY else 8
 SCALE = 8 if TINY else 1
+# rerun a subset of sections, e.g. PROBE_SECTIONS=bwd (each probe function
+# no-ops when its section is off)
+SECTIONS = set(filter(None, os.environ.get(
+    "PROBE_SECTIONS", "fwd,bwd,model,deconv").split(",")))
 
 
 def conv_chain(b, h, w, ci, co, k, groups=1):
     """Shape-consistent chain: alternating ci->co->ci (dense) or a same-width
     depthwise chain (groups=ci=co).  us/conv + achieved tflops."""
+    if "fwd" not in SECTIONS:
+        return
     x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, ci), jnp.bfloat16)
     if groups > 1:
         assert ci == co
@@ -64,6 +70,8 @@ def conv_chain(b, h, w, ci, co, k, groups=1):
 def timed(name, fn, *args, reps=(2 if TINY else 5), extra=None):
     """Whole-model timer: workloads here are >=50 ms, dispatch is <5% — plain
     repeated dispatch is fine; reductions inside fn must be full-tensor."""
+    if "model" not in SECTIONS:
+        return 0.0
     t = fn(*args)
     float(t)
     best = float("inf")
@@ -106,10 +114,18 @@ conv_chain(B, 64 // S, 64 // S, 512, 512, 3)     # deeplab-body ceiling
 # backward is bounded by dw VPU compute like the forward"); this section
 # measures it.  One bwd application = fwd recompute + dgrad + wgrad of the
 # whole chain (grads taken w.r.t. x AND the kernels; the wgrad sum is folded
-# into the carry at 1e-20 scale so XLA cannot DCE it).  Byte model per conv:
-# fwd read x + write y (2 tensors), dgrad read dy (+w) write dx (2), wgrad
-# read x + dy (2) -> ~6 activation tensors of bf16 traffic; FLOPs = 3x fwd.
+# into the carry at 1e-20 scale so XLA cannot DCE it).  A ReLU between the
+# convs is ESSENTIAL: without it the chain is linear, so every dy is
+# x-independent and XLA constant-folds the ENTIRE dgrad chain at compile
+# time — the first cut of this probe read an impossible 291 "TFLOPs" on the
+# MXU control that way (only fwd+wgrad actually executed).  The real
+# encoder has swish between convs, so relu also makes the chain
+# representative.  Byte model per conv: fwd read x + write y, dgrad read
+# dy (+mask) write dx, wgrad read x + dy -> ~6 activation tensors of bf16
+# traffic; FLOPs = 3x fwd (relu flops ignored).
 def bwd_chain(b, h, w, ci, co, k, groups=1):
+    if "bwd" not in SECTIONS:
+        return
     x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, ci), jnp.bfloat16)
     if groups > 1:
         assert ci == co
@@ -128,6 +144,7 @@ def bwd_chain(b, h, w, ci, co, k, groups=1):
                 y, kk, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=groups)
+            y = jax.nn.relu(y)  # nonlinearity: keeps the dgrad chain real
         return jnp.sum(y.astype(jnp.float32))
 
     def body(xc):
@@ -212,6 +229,8 @@ from rnd_semantic_segmentation_tpu.ops.subpixel import conv_transpose_subpixel
 
 
 def deconv_ab(b, h, w, ci, co):
+    if "deconv" not in SECTIONS:
+        return
     x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, ci), jnp.bfloat16)
     k = jax.random.normal(jax.random.PRNGKey(1), (4, 4, ci, co),
                           jnp.bfloat16) * 0.05
