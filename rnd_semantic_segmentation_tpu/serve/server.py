@@ -16,9 +16,11 @@ Endpoints:
 Design notes (TPU-first):
   * one dispatcher thread owns the device; handler threads only enqueue and
     wait — no lock contention around jax calls, requests pipeline naturally.
-  * the batch shape is static: requests are padded to ``max_batch`` and
-    results sliced, so there is exactly ONE compiled graph (first request
-    pays the compile; /healthz flips after warmup).
+  * batch shapes are static power-of-two BUCKETS up to ``max_batch``:
+    requests are padded to the smallest bucket that fits, so the compiled
+    graph count is bounded at log2(max_batch)+1 while the host->device
+    transfer scales with actual occupancy instead of always shipping a
+    max_batch-sized buffer (all buckets warm before /healthz flips).
   * preprocessing reuses the family's test ``Augmenter`` transform, so the
     server is bit-identical to ``test.py`` eval for any family/checkpoint.
 """
@@ -141,15 +143,37 @@ class InferenceServer:
         return preprocess_eval_image(image, self.transform)
 
     # -- device loop ---------------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        """Smallest power-of-two batch bucket >= n (capped at max_batch).
+
+        Dispatching every batch at the full ``max_batch`` shape kept exactly
+        one compiled graph but shipped a max_batch-sized host->device buffer
+        PER DISPATCH regardless of occupancy — at --max-batch 64 @512² that
+        is 200 MB per request under light load, which dominates request
+        latency on PCIe-constrained or remote-device hosts (measured: lone-
+        request p50 815 ms at b16 vs 5.2 s at b64 through the remote-TPU
+        link).  Power-of-two buckets bound the graph count at
+        log2(max_batch)+1 while the transfer scales with actual load."""
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, self.max_batch)
+
     def _warmup(self):
         import jax.numpy as jnp
 
         h, w = self._shape()
-        x = np.zeros((self.max_batch, h, w, 3), np.float32)
-        self._run(jnp.asarray(x))
+        # warm EVERY bucket so no real request ever pays a compile
+        b = 1
+        while True:
+            b = self._bucket(b)
+            self._run(jnp.asarray(np.zeros((b, h, w, 3), np.float32)))
+            if b >= self.max_batch:
+                break
+            b *= 2
         self.ready.set()
         self.logger.info(
-            f"server warm: batch {self.max_batch} @ {h}x{w}"
+            f"server warm: batch buckets <= {self.max_batch} @ {h}x{w}"
             + (f", quant={self.cfg.TEST.QUANT}"
                if self.cfg.TEST.QUANT != "none" else ""))
 
@@ -263,7 +287,7 @@ class InferenceServer:
                 batch = self._queue[:self.max_batch]
                 del self._queue[:len(batch)]
             try:
-                x = np.zeros((self.max_batch, h, w, 3), np.float32)
+                x = np.zeros((self._bucket(len(batch)), h, w, 3), np.float32)
                 for i, p in enumerate(batch):
                     x[i] = p.image
                 if self._needs_calib:
