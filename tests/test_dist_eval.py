@@ -126,6 +126,7 @@ def test_eval_short_batch_padding(ckpt, tmp_path):
         assert abs(out[key] - ref[key]) < 1e-6, (key, out[key], ref[key])
 
 
+@pytest.mark.slow  # 75 s: mesh-padded short-batch eval (ROUND5.md budget split)
 def test_pranet_short_batch_padding_masks_minmax(tmp_path):
     """pranet's min-max rescale is batch-GLOBAL (reference
     pranet_tester.py:41), so the Tester's ignore-padded rows must be masked

@@ -99,6 +99,7 @@ def test_fada_trainer_e2e(tmp_path):
     assert len(chart["segmentation loss"]) > 0
 
 
+@pytest.mark.slow  # 133 s on the 1-core host: full multiscale trainer (ROUND5.md budget split)
 def test_device_aug_trainer_pranet_multiscale(tmp_path):
     """DEVICE_AUG end-to-end through the pranet family: the device pipeline
     (rot90/flip/jitter/normalize) feeds the multiscale rate loop, whose

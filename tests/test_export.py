@@ -84,8 +84,9 @@ def test_export_with_quantization(trained, tmp_path):
 FAMILIES = [
     # gald: the /32 taps go through two VALID-padded stride-2 convs in
     # LocalAttenModule (faithful to reference GALDNet.py:124-157), so the
-    # model needs >=256 inputs — its Cityscapes operating regime
-    ("gald_hardnet68", 2, 256),
+    # model needs >=256 inputs — its Cityscapes operating regime.
+    # slow: the 256-input AOT export is a 62 s compile on this host
+    pytest.param("gald_hardnet68", 2, 256, marks=pytest.mark.slow),
     ("pranet_res2net50", 2, 64),
     ("attn_efficientnet-b0", 2, 64),
 ]
@@ -140,8 +141,11 @@ def test_export_roundtrip_all_families(tmp_path, name, nc, size):
     _assert_argmax_close(got, probs)
 
 
+@pytest.mark.slow  # two AOT quant exports, 100-120 s each on this host
 @pytest.mark.parametrize("name,nc,size",
-                         [f for f in FAMILIES if not f[0].startswith("gald")])
+                         [f for f in FAMILIES
+                          if not (f.values[0] if hasattr(f, "values")
+                                  else f[0]).startswith("gald")])
 def test_export_quant_composes_sigmoid_heads(tmp_path, name, nc, size):
     """int8(fake) quantization composed with the pranet/attn sigmoid heads
     through the full export->deserialize->run path."""

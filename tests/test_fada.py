@@ -70,7 +70,8 @@ def test_fada_d_losses_reasonable():
 
 
 @pytest.mark.parametrize("name,nc,size", [
-    ("gald_hardnet68", 4, 224),
+    # gald@224 is the non-slow suite's #3 offender (65 s, ROUND5.md)
+    pytest.param("gald_hardnet68", 4, 224, marks=pytest.mark.slow),
     ("attn_efficientnet-b0", 2, 64),
     ("pranet_res2net50", 2, 64),
 ])

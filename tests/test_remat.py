@@ -94,6 +94,7 @@ def test_remat_primitive_present_in_jaxpr():
         assert ("remat" in jaxpr) == expect, mode
 
 
+@pytest.mark.slow  # 253 s: 4 backbones x remat-vs-plain step equality (ROUND5.md budget split)
 def test_remat_blocks_exact_and_ckpt_compatible():
     """MODEL.REMAT_BLOCKS (block-granular nn.remat in the EfficientNet
     encoder): identical param tree (checkpoints interchangeable), identical

@@ -38,8 +38,11 @@ def _setup(name, num_classes, size, base_lr=1e-3, batch=2):
 @pytest.mark.parametrize("name,nc,size,lr,steps", [
     ("deeplab_resnet18", 5, 32, 1e-4, 6),
     # gald's deep-supervised loss has a ~8-step BN transient before it drops
-    # below step 0 — needs the longer horizon
-    ("gald_hardnet68", 4, 224, 1e-4, 10),
+    # below step 0 — needs the longer horizon.  slow: 83 s on the 1-core
+    # host (suite-budget split, ROUND5.md); gald learning is also covered by
+    # the slow test_learning.py case
+    pytest.param("gald_hardnet68", 4, 224, 1e-4, 10,
+                 marks=pytest.mark.slow),
     ("pranet_res2net50", 2, 64, 1e-3, 6),
     ("attn_efficientnet-b0", 2, 64, 1e-3, 6),
 ])
