@@ -37,8 +37,12 @@ REGIME_CASES = [
     # (regime, name, nc, size, batch)
     ("fada", "deeplab_resnet101", 19, 512, 16),
     ("fada", "gald_hardnet68", 19, 512, 16),
+    ("fada", "pranet_res2net50", 2, 352, 16),
+    ("fada", "attn_efficientnet-b2", 2, 512, 16),
     ("distill", "deeplab_resnet101", 19, 512, 16),
     ("distill", "gald_hardnet68", 19, 512, 16),
+    ("distill", "pranet_res2net50", 2, 352, 16),
+    ("distill", "attn_efficientnet-b2", 2, 512, 16),
 ]
 
 

@@ -34,6 +34,16 @@ def make_online_distill_step(segmentor: Segmentor, cfg, steps_per_epoch: int,
     """step(state, batch, epoch0) -> (state, metrics); teacher is closed over
     (constant weights folded into the executable)."""
     spec = segmentor.spec
+    if confidence_threshold > 0 and spec.family in ("pranet", "attn",
+                                                    "attnwrap"):
+        # pranet's structure_loss consumes a {0,1} float mask with no
+        # ignore-index channel (255 would poison the loss); attn's
+        # Tversky+BCE one-hots the label, so IGNORE_LABEL becomes an
+        # all-zero target — a real "no class" supervision signal, not an
+        # ignore.  Only the CE families (deeplab/gald) can drop pixels.
+        raise ValueError(
+            f"DISTILL.CONFIDENCE_THRESHOLD is not supported for the "
+            f"{spec.family} family: its loss has no ignore-label mechanism")
     loss_fn = make_family_loss(spec, cfg.MODEL.NUM_CLASSES, cfg.INPUT.IGNORE_LABEL)
     lr_sched = make_lr_schedule(spec, cfg, steps_per_epoch)
     txs = make_optimizers(spec, cfg)
@@ -54,10 +64,20 @@ def make_online_distill_step(segmentor: Segmentor, cfg, steps_per_epoch: int,
             teacher_params, teacher_stats, x,
             label_size=x.shape[1:3], train=False)
         t_logits = t_outputs[-1] if spec.family in ("gald", "pranet") else t_outputs[0]
-        t_probs = jax.nn.softmax(t_logits.astype(jnp.float32), axis=-1)
-        pseudo = jnp.argmax(t_probs, axis=-1).astype(jnp.int32)
-        if confidence_threshold > 0:
+        if t_logits.shape[-1] == 1:
+            # 1-channel sigmoid heads (pranet): softmax over a single channel
+            # is constant, so argmax pseudo-labels would be all-zero garbage.
+            # Binary extension mirroring fada.py _soft_label: sigmoid ->
+            # threshold at 0.5; confidence = the winning class probability
+            # max(p, 1-p), consistent with the softmax branch's max-prob.
+            p = jax.nn.sigmoid(t_logits[..., 0].astype(jnp.float32))
+            pseudo = (p >= 0.5).astype(jnp.int32)
+            conf = jnp.maximum(p, 1.0 - p)
+        else:
+            t_probs = jax.nn.softmax(t_logits.astype(jnp.float32), axis=-1)
+            pseudo = jnp.argmax(t_probs, axis=-1).astype(jnp.int32)
             conf = jnp.max(t_probs, axis=-1)
+        if confidence_threshold > 0:
             pseudo = jnp.where(conf >= confidence_threshold, pseudo, ignore)
         pseudo = jax.lax.stop_gradient(pseudo)
 
