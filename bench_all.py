@@ -171,10 +171,13 @@ def bench_distill(name, nc, size, batch, iters=8, warmup=2):
     state = seg.make_states(variables, make_optimizers(spec, cfg))
     t_params = {n: m.params for n, m in state.modules.items()}
     t_stats = {n: m.stats for n, m in state.modules.items()}
+    # confidence gating needs an ignore-label mechanism — CE families only
+    # (pranet/attn reject the combination by design, train/distill.py)
+    threshold = 0.9 if spec.family in ("deeplab", "gald") else 0.0
     step = make_online_distill_step(seg, cfg, steps_per_epoch=1000,
                                     teacher_params=t_params,
                                     teacher_stats=t_stats,
-                                    confidence_threshold=0.9)
+                                    confidence_threshold=threshold)
     for _ in range(warmup):
         state, m = step(state, batch_d, jnp.float32(0))
     float(m["loss"])
