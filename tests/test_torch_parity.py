@@ -28,11 +28,20 @@ TOL = 2e-3  # north-star parity budget is 1e-3 on logits; activations compound
 
 
 def _assert_close(ours, ref_nchw, tol=TOL):
+    """Scale-aware closeness: the torch oracles here are RANDOM-init (torch's
+    global RNG, different weights every run), so unnormalized deep
+    activations reach magnitudes of hundreds — a fixed ABSOLUTE tol on those
+    is a lottery ticket on float accumulation order (a 0.00207 max-abs diff
+    on ~480-magnitude res2net layer4 activations — 4e-6 relative — failed
+    one run and passed the next).  The budget applies to unit-scale values
+    and scales with the oracle's own magnitude past 1.0."""
     ref = np.transpose(ref_nchw.detach().numpy(), (0, 2, 3, 1))
     ours = np.asarray(ours, np.float32)
     assert ours.shape == ref.shape, (ours.shape, ref.shape)
+    scale = max(1.0, float(np.max(np.abs(ref))) / 10.0)
     diff = np.max(np.abs(ours - ref))
-    assert diff < tol, f"max abs diff {diff}"
+    assert diff < tol * scale, (f"max abs diff {diff} vs budget "
+                                f"{tol * scale} (ref scale {scale})")
 
 
 def test_res2net_backbone_parity(rng):
