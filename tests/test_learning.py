@@ -89,7 +89,14 @@ def test_gald_learns_synthetic_blobs(tmp_path):
     # deep-supervised CE over 4 scales, dual Adam (gald_trainer.py semantics).
     # GCPA's LocalAttenModule (two VALID-padded stride-2 convs on the /32
     # taps) needs input >=224; the big input learns in few steps.
+    # BN_RECAL: after ~64 steps HarDNet's BN running stats sit at the edge
+    # of eval-mode convergence — loss drops and train-mode is accurate, but
+    # eval mIoU landed 0.43-0.55 depending on the host's float rounding
+    # (round 5 saw 0.4307 on a machine with different CPU codegen).  Exact
+    # batch-stat re-estimation (the attn fix from round 3) removes the
+    # marginality instead of luck-tuning epochs.
     cfg = _learn_cfg(tmp_path, "gald_hardnet68", 224, 1e-3, epochs=4)
+    cfg.SOLVER.BN_RECAL_BATCHES = 4
     _run_learning(tmp_path, cfg, miou_floor=0.5)
 
 
