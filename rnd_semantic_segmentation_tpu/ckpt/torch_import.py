@@ -106,6 +106,11 @@ def convert_state_dict(
             _set(variables["params"], path + ["kernel"], kernel)
         elif leaf == "weight" and value.ndim == 2:
             _set(variables["params"], path + ["kernel"], value.T)
+        elif leaf == "weight" and value.ndim == 1:
+            # Stat-free affine norm (GroupNorm in the CGNL heads,
+            # cgnonlocal.py:144/229): torch stores weight/bias with no
+            # running_mean sibling, so the is_norm branch can't catch it.
+            _set(variables["params"], path + ["scale"], value)
         elif leaf == "bias":
             _set(variables["params"], path + ["bias"], value)
         elif leaf in ("gamma",):

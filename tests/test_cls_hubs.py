@@ -70,23 +70,72 @@ def test_nlresnet18_torch_parity(rng):
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)
 
 
-def test_cgnlresnet50_nl_torch_parity(rng):
+def _load_cgnonlocal(monkeypatch):
     if "termcolor" not in sys.modules:
         tc = types.ModuleType("termcolor")
         tc.cprint = lambda *a, **k: None
         sys.modules["termcolor"] = tc
-    ref_mod = load_ref_module(
+    # SpatialCGNLx.kernel calls alpha.cuda() unconditionally (cgnonlocal.py:287)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    return load_ref_module(
         "core/models/classifiers/gcpacc/contextagg/cgnonlocal.py", "ref_cgnonlocal")
+
+
+@pytest.mark.parametrize("nl_type", ["nl", "cgnl", "cgnlx"])
+def test_cgnlresnet50_torch_parity(rng, monkeypatch, nl_type):
+    ref_mod = _load_cgnonlocal(monkeypatch)
     tnet = _randomize(ref_mod.ResNet(ref_mod.Bottleneck, [3, 4, 6, 3],
-                                     num_classes=5, nl_type="nl", nl_nums=1,
+                                     num_classes=5, nl_type=nl_type, nl_nums=1,
                                      pool_size=2), seed=2)
     x = rng.rand(1, 64, 64, 3).astype(np.float32)
     with torch.no_grad():
-        ref = tnet(to_nchw(x)).numpy()
+        # .contiguous(): the CGNL kernels' split+view chain (cgnonlocal.py:166)
+        # requires NCHW-contiguous input; to_nchw's permute propagates
+        # channels-last strides through every conv.
+        ref = tnet(to_nchw(x).contiguous()).numpy()
 
     sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
     variables = convert_state_dict(sd, nl_hub_rules(6, True),
                                    skip=("num_batches_tracked",))
-    ours = CGNLResNet(arch="resnet50", num_classes=5, nl_type="nl", nl_nums=1,
+    ours = CGNLResNet(arch="resnet50", num_classes=5, nl_type=nl_type, nl_nums=1,
                       pool_size=2).apply(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("use_scale", [False, True])
+def test_spatial_cgnl_block_parity(rng, monkeypatch, use_scale):
+    """Grouped dot-product kernel vs the torch bmm chain (cgnonlocal.py:127-194)."""
+    from rnd_semantic_segmentation_tpu.models.gcpa import SpatialCGNL
+
+    ref_mod = _load_cgnonlocal(monkeypatch)
+    tblk = _randomize(ref_mod.SpatialCGNL(32, 16, use_scale=use_scale, groups=8),
+                      seed=3)
+    x = rng.rand(2, 6, 6, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = tblk(to_nchw(x).contiguous()).permute(0, 2, 3, 1).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tblk.state_dict().items()}
+    variables = convert_state_dict(sd, [(r"\.", "/")], skip=("num_batches_tracked",))
+    ours = SpatialCGNL(planes=16, groups=8, use_scale=use_scale).apply(
+        variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("order,use_scale", [(2, False), (3, False), (3, True)])
+def test_spatial_cgnlx_block_parity(rng, monkeypatch, order, use_scale):
+    """Taylor-expanded RBF kernel: our per-order alpha*<p^n,g>*t^n sum vs the
+    torch sqrt(alpha)-weighted bmm chain (cgnonlocal.py:247-306)."""
+    from rnd_semantic_segmentation_tpu.models.zoo import SpatialCGNLx
+
+    ref_mod = _load_cgnonlocal(monkeypatch)
+    tblk = _randomize(ref_mod.SpatialCGNLx(32, 16, use_scale=use_scale, groups=8,
+                                           order=order), seed=4)
+    x = rng.rand(2, 6, 6, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = tblk(to_nchw(x).contiguous()).permute(0, 2, 3, 1).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tblk.state_dict().items()}
+    variables = convert_state_dict(sd, [(r"\.", "/")], skip=("num_batches_tracked",))
+    ours = SpatialCGNLx(planes=16, groups=8, order=order, use_scale=use_scale).apply(
+        variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
